@@ -1,0 +1,328 @@
+"""MPO application and composition.
+
+* ``apply(W, psi)`` — exact contraction with fused bonds, no truncation
+  (semantics of reference src/linalg/apply.jl:75-122: output bond dimension
+  is the product; compression is the caller's job). The fused output bond's
+  valid entries are scattered (not a leading block), which every downstream
+  op tolerates; ``ranks`` stays a count upper bound and becomes a leading
+  block again after the first sweep.
+* ``apply(W, psi, maxdim=..., cutoff=...)`` — the TPU performance path: a
+  fused contract-then-truncate "zip-up" sweep so the product bond
+  chiW*chiS is never materialized across the whole chain, followed by
+  optional two-site polish sweeps. This replaces the reference's
+  apply-then-compress! sequence for large n.
+* ``apply_mpo_mpo(W1, W2)`` — operator composition, W1 acts first
+  (reference src/linalg/apply.jl:124-199; build_zt_mpo relies on this order,
+  src/transforms/zt_transformer.jl:101-103).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO, _mpo_chain
+from qilaplace_tpu.core.mps import (
+    MPS,
+    ZTMPS,
+    _chain,
+    _rewrap,
+    _sweep_right,
+    _two_site_sweep,
+)
+from qilaplace_tpu.ops.truncation import svd_split
+
+
+def _apply_exact(W: MPO, psi: MPS) -> MPS:
+    """Per-site contract + bond fuse; output chi = chiW * chiS."""
+    Wc, Ac = W.cores, psi.cores
+    n = psi.n
+    if W.n != n:
+        raise ValueError(
+            f"apply: MPO and MPS must have the same number of sites "
+            f"(got {W.n} and {n})"
+        )
+    out = jnp.einsum("naoic,nbid->nabocd", Wc, Ac)
+    chi_out = W.chi * psi.chi
+    out = out.reshape(n, chi_out, 2, chi_out)
+    ranks = W.ranks * psi.ranks
+    return MPS(cores=out, ranks=ranks, amplitude=psi.amplitude)
+
+
+def _apply_fused(
+    W: MPO,
+    psi: MPS,
+    *,
+    maxdim: int,
+    cutoff: float,
+    chi_out: int | None = None,
+    final_sweeps: int = 1,
+) -> MPS:
+    """Zip-up apply: contract site, truncate, carry the remainder.
+
+    The carry ``C[x, a, b]`` connects the already-truncated left part (bond x,
+    size chi_out) to the not-yet-contracted W bond (a) and psi bond (b). The
+    full product bond only ever exists locally.
+    """
+    n, chiW, chiS = psi.n, W.chi, psi.chi
+    if W.n != n:
+        raise ValueError("apply: MPO and MPS must have the same number of sites")
+    if chi_out is None:
+        chi_out = min(maxdim, chiW * chiS)
+    maxdim = min(maxdim, chi_out)
+    dtype = jnp.result_type(W.dtype, psi.dtype)
+
+    C0 = jnp.zeros((chi_out, chiW, chiS), dtype=dtype).at[0, 0, 0].set(1.0)
+
+    def step(carry, inp):
+        C, _ = carry
+        Wcore, Acore = inp
+        T = jnp.einsum("xab,aoic,bid->xocd", C, Wcore, Acore)
+        M = T.reshape(chi_out * 2, chiW * chiS)
+        L, R, rank = svd_split(
+            M, cutoff=cutoff, maxdim=maxdim, absorb="right", out_dim=chi_out
+        )
+        core = L.reshape(chi_out, 2, chi_out)
+        return (R.reshape(chi_out, chiW, chiS), rank), (core, rank)
+
+    (Cf, _), (cores, bond_ranks) = jax.lax.scan(
+        step,
+        (C0, jnp.int32(0)),
+        (W.cores[: n - 1].astype(dtype), psi.cores[: n - 1].astype(dtype)),
+    )
+    # Last site: contract the remainder; right boundary is (0, 0) -> index 0.
+    last = jnp.einsum(
+        "xab,aoic,bid->xocd",
+        Cf,
+        W.cores[n - 1].astype(dtype),
+        psi.cores[n - 1].astype(dtype),
+    )[:, :, 0, 0]
+    last = jnp.pad(last[:, :, None], ((0, 0), (0, 0), (0, chi_out - 1)))
+    cores = jnp.concatenate([cores, last[None]], axis=0)
+    ranks = (
+        jnp.ones((n + 1,), dtype=jnp.int32)
+        .at[1:n]
+        .set(bond_ranks)
+    )
+
+    out = MPS(cores=cores, ranks=ranks, amplitude=psi.amplitude)
+    for _ in range(final_sweeps):
+        c2, r2 = _two_site_sweep(
+            out.cores, out.ranks, cutoff=cutoff, maxdim=maxdim, reverse=True
+        )
+        c2, r2 = _two_site_sweep(
+            c2, r2, cutoff=cutoff, maxdim=maxdim, reverse=False
+        )
+        out = MPS(cores=c2, ranks=r2, amplitude=out.amplitude)
+    return out
+
+
+def apply(
+    W,
+    psi,
+    *,
+    maxdim: int | None = None,
+    cutoff: float | None = None,
+    chi_out: int | None = None,
+    final_sweeps: int = 1,
+):
+    """Apply an MPO to an MPS (or ZTMPS with a PairedSiteMPO).
+
+    Without ``maxdim``/``cutoff``: exact, untruncated (reference semantics).
+    With them: fused contract-then-truncate sweep (TPU performance path).
+    """
+    Wm = _mpo_chain(W)
+    pm = _chain(psi)
+    if isinstance(psi, ZTMPS) != isinstance(W, PairedSiteMPO):
+        raise TypeError(
+            "apply: pair SingleSiteMPO with SignalMPS and PairedSiteMPO with ZTMPS"
+        )
+    if maxdim is None and cutoff is None and chi_out is None:
+        res = _apply_exact(Wm, pm)
+    else:
+        res = _apply_fused(
+            Wm,
+            pm,
+            maxdim=maxdim if maxdim is not None else (chi_out or Wm.chi * pm.chi),
+            cutoff=0.0 if cutoff is None else cutoff,
+            chi_out=chi_out,
+            final_sweeps=final_sweeps,
+        )
+    return _rewrap(psi, res)
+
+
+def _compose_fused(
+    A: MPO,
+    B: MPO,
+    *,
+    chi_out: int,
+    zip_maxdim: int,
+    cutoff: float,
+    maxdim: int,
+    final_sweeps: int = 1,
+) -> MPO:
+    """Zip-up composition B ∘ A with mask-truncation.
+
+    Stage 1 (zip-up, cutoff=0): contract site-by-site, keeping at most
+    ``zip_maxdim`` singular values — exact whenever the true intermediate rank
+    fits, and leaves the chain left-canonical.
+    Stage 2: two-site polish sweeps (right-to-left then left-to-right) with
+    the real ``cutoff``/``maxdim`` — canonical-gauge truncation, the moral
+    equivalent of the reference's zip-up/zip-down and two-pass
+    zip_to_compress (src/transforms/qft_transformer.jl:13-101,
+    src/transforms/dt_transformer.jl:167-288).
+    """
+    n, chiA, chiB = A.n, A.chi, B.chi
+    dtype = jnp.result_type(A.dtype, B.dtype)
+    zip_maxdim = min(zip_maxdim, chi_out)
+    maxdim = min(maxdim, chi_out)
+
+    C0 = jnp.zeros((chi_out, chiB, chiA), dtype=dtype).at[0, 0, 0].set(1.0)
+
+    def step(carry, inp):
+        C, _ = carry
+        Bcore, Acore = inp
+        T = jnp.einsum("xba,botc,atid->xoicd", C, Bcore, Acore)
+        M = T.reshape(chi_out * 4, chiB * chiA)
+        L, R, rank = svd_split(
+            M, cutoff=0.0, maxdim=zip_maxdim, absorb="right", out_dim=chi_out
+        )
+        return (R.reshape(chi_out, chiB, chiA), rank), (
+            L.reshape(chi_out, 4, chi_out),
+            rank,
+        )
+
+    (Cf, _), (cores4, bond_ranks) = jax.lax.scan(
+        step,
+        (C0, jnp.int32(0)),
+        (B.cores[: n - 1].astype(dtype), A.cores[: n - 1].astype(dtype)),
+    )
+    last = jnp.einsum(
+        "xba,botc,atid->xoicd",
+        Cf,
+        B.cores[n - 1].astype(dtype),
+        A.cores[n - 1].astype(dtype),
+    )[:, :, :, 0, 0].reshape(chi_out, 4)
+    last = jnp.pad(last[:, :, None], ((0, 0), (0, 0), (0, chi_out - 1)))
+    cores4 = jnp.concatenate([cores4, last[None]], axis=0)
+    ranks = jnp.ones((n + 1,), dtype=jnp.int32).at[1:n].set(bond_ranks)
+
+    for _ in range(final_sweeps):
+        cores4, ranks = _two_site_sweep(
+            cores4, ranks, cutoff=cutoff, maxdim=maxdim, reverse=True
+        )
+        cores4, ranks = _two_site_sweep(
+            cores4, ranks, cutoff=cutoff, maxdim=maxdim, reverse=False
+        )
+    return MPO(cores=cores4.reshape(n, chi_out, 2, 2, chi_out), ranks=ranks)
+
+
+def apply_mpo_mpo(
+    W1,
+    W2,
+    *,
+    maxdim: int | None = None,
+    cutoff: float | None = None,
+    chi_out: int | None = None,
+    zip_maxdim: int | None = None,
+    final_sweeps: int = 1,
+):
+    """Compose two equal-length MPOs: result = W2 after W1 (W1 acts first).
+
+    Dense equivalence: mpo_to_dense(result) == mpo_to_dense(W2) @
+    mpo_to_dense(W1). For window composition, embed the shorter MPO first
+    (see :func:`embed_window`).
+
+    Without truncation kwargs the composition is exact with product bonds
+    (reference src/linalg/apply.jl:124-199); with them it runs the fused
+    zip-up + polish path.
+    """
+    paired = isinstance(W1, PairedSiteMPO)
+    if paired != isinstance(W2, PairedSiteMPO):
+        raise TypeError("apply_mpo_mpo: both operands must have the same register type")
+    A, B = _mpo_chain(W1), _mpo_chain(W2)
+    if A.n != B.n:
+        raise ValueError(
+            "apply_mpo_mpo: lengths differ — embed the window MPO first "
+            f"(got {A.n} and {B.n})"
+        )
+    if maxdim is None and cutoff is None and chi_out is None:
+        out = jnp.einsum("nbotc,natid->nbaoicd", B.cores, A.cores)
+        n = A.n
+        chi_prod = A.chi * B.chi
+        out = out.reshape(n, chi_prod, 2, 2, chi_prod)
+        res = MPO(cores=out, ranks=A.ranks * B.ranks)
+    else:
+        if chi_out is None:
+            chi_out = min(maxdim or A.chi * B.chi, A.chi * B.chi)
+        res = _compose_fused(
+            A,
+            B,
+            chi_out=chi_out,
+            zip_maxdim=zip_maxdim if zip_maxdim is not None else chi_out,
+            cutoff=0.0 if cutoff is None else cutoff,
+            maxdim=maxdim if maxdim is not None else chi_out,
+            final_sweeps=final_sweeps,
+        )
+    return PairedSiteMPO(chain=res) if paired else res
+
+
+def mpo_compress(W, *, cutoff: float = 1e-14, maxdim: int | None = None, sweeps: int = 1):
+    """Two-pass canonical compression of an MPO chain: gauge sweep then
+    truncating two-site sweeps (reference zip_to_compress_mpo,
+    src/transforms/dt_transformer.jl:167-288)."""
+    m = _mpo_chain(W)
+    n, chi = m.n, m.chi
+    if maxdim is None:
+        maxdim = chi
+    cores4 = m.cores.reshape(n, chi, 4, chi)
+    cores4, ranks = _sweep_right(
+        cores4, m.ranks, cutoff=0.0, maxdim=chi, start=0, stop=n - 1
+    )
+    for _ in range(sweeps):
+        cores4, ranks = _two_site_sweep(
+            cores4, ranks, cutoff=cutoff, maxdim=maxdim, reverse=True
+        )
+        cores4, ranks = _two_site_sweep(
+            cores4, ranks, cutoff=cutoff, maxdim=maxdim, reverse=False
+        )
+    res = MPO(cores=cores4.reshape(n, chi, 2, 2, chi), ranks=ranks)
+    return PairedSiteMPO(chain=res) if isinstance(W, PairedSiteMPO) else res
+
+
+def embed_window(W, n_total: int, start: int):
+    """Embed a window MPO into an ``n_total``-site chain, identities outside
+    (reference test/preamble_test.jl:128-181 embed_mpo)."""
+    m = _mpo_chain(W)
+    nw, chi = m.n, m.chi
+    if start < 0 or start + nw > n_total:
+        raise ValueError("embed_window: window out of range")
+    eye = jnp.zeros((chi, 2, 2, chi), dtype=m.dtype)
+    eye = eye.at[0, 0, 0, 0].set(1.0).at[0, 1, 1, 0].set(1.0)
+    pre = jnp.broadcast_to(eye, (start, chi, 2, 2, chi))
+    post = jnp.broadcast_to(eye, (n_total - start - nw, chi, 2, 2, chi))
+    cores = jnp.concatenate([pre, m.cores, post], axis=0)
+    ranks = jnp.concatenate(
+        [
+            jnp.ones((start,), jnp.int32),
+            m.ranks,
+            jnp.ones((n_total - start - nw,), jnp.int32),
+        ]
+    )
+    out = MPO(cores=cores, ranks=ranks)
+    return PairedSiteMPO(chain=out) if isinstance(W, PairedSiteMPO) else out
+
+
+# Operator sugar: W * psi and W1 * W2 (reference src/linalg/apply.jl:233-236).
+# The reference defines *(W1, W2) = apply(W1, W2), where W1's output feeds
+# W2's input — i.e. the product W1 * W2 means W2 ∘ W1. We keep that.
+def _mpo_mul(self, other):
+    if isinstance(other, (MPS, ZTMPS)):
+        return apply(self, other)
+    if isinstance(other, (MPO, PairedSiteMPO)):
+        return apply_mpo_mpo(self, other)
+    return NotImplemented
+
+
+MPO.__mul__ = _mpo_mul
+PairedSiteMPO.__mul__ = _mpo_mul

@@ -1,0 +1,117 @@
+"""Randomized truncated SVD — the encoder workhorse.
+
+TPU re-design of reference src/linalg/rsvd.jl:38-121: the range finder is a
+single big GEMM (MXU-resident) followed by a padding-safe Gram
+orthonormalization, ``q`` optional power iterations, and a small dense SVD.
+
+Differences from the reference, by design:
+* matrices are positional (the combiner/uncombine steps vanish);
+* orthonormalization is Gram-based (one GEMM + a small eigh) instead of
+  LAPACK QR: QR of a rank-deficient padded matrix writes garbage into the
+  orthogonal-completion columns, breaking the zero-padding invariant, while
+  the Gram route lets us mask exactly;
+* randomness comes from a jax PRNG key (the reference reseeds a global RNG
+  with seed 1234 on every call, src/linalg/rsvd.jl:74).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from qilaplace_tpu.ops.truncation import truncation_rank
+
+
+def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None):
+    """Orthonormal basis of range(Y) via the Gram matrix, padding-safe.
+
+    Returns ``(Q, rank)`` with Q [a, l]; columns at index >= rank are zero.
+    """
+    a, l = Y.shape
+    G = Y.conj().T @ Y
+    lam, V = jnp.linalg.eigh(G)  # ascending
+    lam = lam[::-1]
+    V = V[:, ::-1]
+    lam = jnp.maximum(lam.real, 0.0)
+    if eps is None:
+        eps = float(jnp.finfo(Y.real.dtype).eps)
+    # eigh perturbs eigenvalues by O(eps * lam_max); anything below that is
+    # numerically zero (this is the Gram method's sqrt(eps) rank floor).
+    tol = eps * l
+    lam_max = jnp.maximum(lam[0], jnp.finfo(lam.dtype).tiny)
+    keep = lam > tol * lam_max
+    rank = jnp.sum(keep).astype(jnp.int32)
+    inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, lam, 1.0)), 0.0)
+    Q = Y @ (V * inv_sqrt[None, :].astype(V.dtype))
+    Q = jnp.where(keep[None, :], Q, 0.0)
+    return Q, rank
+
+
+def rsvd(
+    M: jax.Array,
+    key: jax.Array,
+    *,
+    k: int = 20,
+    p: int = 10,
+    q: int = 0,
+    cutoff: float = 1e-15,
+    maxdim: int | None = None,
+    mindim: int = 1,
+    out_dim: int | None = None,
+):
+    """Randomized SVD of a (possibly zero-padded) matrix ``M`` [a, b].
+
+    Returns ``(U, s, Vh, rank)`` with U [a, out_dim], s [out_dim],
+    Vh [out_dim, b]; entries at index >= rank are zero.
+    ``k``: target rank, ``p``: oversampling, ``q``: power iterations
+    (parameter semantics of reference src/linalg/rsvd.jl:38-50;
+    maxdim defaults to k there and here).
+    """
+    a, b = M.shape
+    l = min(k + p, a, b)
+    if maxdim is None:
+        maxdim = k
+    if out_dim is None:
+        out_dim = min(maxdim, l)
+    maxdim = min(maxdim, out_dim, l)
+
+    cdtype = M.dtype
+    if jnp.issubdtype(cdtype, jnp.complexfloating):
+        kr, ki = jax.random.split(key)
+        Om = (
+            jax.random.normal(kr, (b, l), dtype=jnp.finfo(cdtype).dtype)
+            + 1j * jax.random.normal(ki, (b, l), dtype=jnp.finfo(cdtype).dtype)
+        ).astype(cdtype) / jnp.sqrt(2.0).astype(cdtype)
+    else:
+        Om = jax.random.normal(key, (b, l), dtype=cdtype)
+
+    Y = M @ Om  # [a, l] — the big GEMM
+    Q, _ = gram_orthonormalize(Y)
+    for _ in range(q):
+        Z = M.conj().T @ Q  # [b, l]
+        Qz, _ = gram_orthonormalize(Z)
+        Y = M @ Qz
+        Q, _ = gram_orthonormalize(Y)
+
+    B = Q.conj().T @ M  # [l, b] small
+    Ub, s, Vh = jnp.linalg.svd(B, full_matrices=False)  # l x min(l,b)
+    rank = truncation_rank(s, cutoff, maxdim, mindim)
+    kk = s.shape[0]
+    keep = jnp.arange(kk) < rank
+    s = jnp.where(keep, s, 0.0)
+    Ub = jnp.where(keep[None, :], Ub, 0.0)
+    Vh = jnp.where(keep[:, None], Vh, 0.0)
+    U = Q @ Ub  # [a, kk]
+
+    def fit(X, axis):
+        if X.shape[axis] == out_dim:
+            return X
+        if X.shape[axis] > out_dim:
+            sl = [slice(None)] * X.ndim
+            sl[axis] = slice(0, out_dim)
+            return X[tuple(sl)]
+        pad = [(0, 0)] * X.ndim
+        pad[axis] = (0, out_dim - X.shape[axis])
+        return jnp.pad(X, pad)
+
+    return fit(U, 1), fit(s, 0), fit(Vh, 0), rank

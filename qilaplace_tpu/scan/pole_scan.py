@@ -1,0 +1,164 @@
+"""First-class pole-scan API.
+
+The reference ships this workflow as tutorial code
+(docs/src/tutorials/zt.jl:296-411): scan chi(k, l) on coarse-to-fine grids in
+the z-plane and locate poles as |chi| peaks. There the scans are serial Julia
+loops over 1e4-1e5 individual coefficient contractions; here every grid is a
+single vmapped ``lax.scan`` device program (core.mps.coefficient_batch).
+
+Coordinate conventions (reference docs/src/tutorials/zt.jl:170-217):
+    s(k, l) = (wr*k + i*wi*l) / N,   z(k, l) = e^{-s(k, l)},
+    chi(k, l) read out at interleaved LSB-first (k, l) bits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from qilaplace_tpu.core.mps import ZTMPS, coefficient_batch
+from qilaplace_tpu.ops.apply import apply
+from qilaplace_tpu.transforms.zt import build_zt_mpo
+from qilaplace_tpu.utils.bits import paired_config_from_kl
+
+TWO_PI = 2.0 * jnp.pi
+
+
+def chi_grid(psi_out: ZTMPS, ks, ls) -> jax.Array:
+    """Sample chi on the outer product of index vectors ``ks`` x ``ls``.
+
+    Returns a [len(ks), len(ls)] complex grid; one batched device program.
+    """
+    n = psi_out.n
+    ks = jnp.asarray(ks)
+    ls = jnp.asarray(ls)
+    K, L = jnp.meshgrid(ks, ls, indexing="ij")
+    configs = paired_config_from_kl(K.reshape(-1), L.reshape(-1), n)
+    vals = coefficient_batch(psi_out, configs)
+    return vals.reshape(ks.shape[0], ls.shape[0])
+
+
+def z_from_kl(k, l, n: int, wr, wi=TWO_PI):
+    """Map grid indices to the z-plane: z = r e^{-i theta}
+    (reference docs/src/tutorials/zt.jl:209-214)."""
+    N = 2**n
+    r = jnp.exp(-wr * jnp.asarray(k, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32) / N)
+    theta = wi * jnp.asarray(l, r.dtype) / N
+    return r * jnp.cos(theta) - 1j * r * jnp.sin(theta)
+
+
+def kl_from_z(z, n: int, wr, wi=TWO_PI):
+    """Nearest grid indices for a z-plane target
+    (reference docs/src/tutorials/zt.jl:355-360, 390-393)."""
+    N = 2**n
+    r = jnp.abs(z)
+    theta = jnp.mod(-jnp.angle(z), TWO_PI)
+    k = jnp.clip(jnp.round(-N * jnp.log(r) / wr).astype(jnp.int64), 0, N - 1)
+    l = jnp.mod(jnp.round(N * theta / wi).astype(jnp.int64), N)
+    return k, l
+
+
+@dataclasses.dataclass
+class ScanResult:
+    ks: jax.Array          # [K] row indices
+    ls: jax.Array          # [L] column indices
+    chi: jax.Array         # [K, L] sampled coefficients
+    k_peak: jax.Array      # argmax |chi| row index
+    l_peak: jax.Array      # argmax |chi| col index
+    z_peak: jax.Array      # z at the peak
+    wr: float
+    wi: float
+
+
+def pole_scan(psi_out: ZTMPS, ks, ls, *, wr, wi=TWO_PI) -> ScanResult:
+    """Evaluate |chi| on a (k, l) grid and report the peak."""
+    n = psi_out.n
+    ks = jnp.asarray(ks)
+    ls = jnp.asarray(ls)
+    chi = chi_grid(psi_out, ks, ls)
+    mag = jnp.abs(chi)
+    flat = jnp.argmax(mag)
+    i, j = jnp.unravel_index(flat, mag.shape)
+    k_peak, l_peak = ks[i], ls[j]
+    return ScanResult(
+        ks=ks,
+        ls=ls,
+        chi=chi,
+        k_peak=k_peak,
+        l_peak=l_peak,
+        z_peak=z_from_kl(k_peak, l_peak, n, wr, wi),
+        wr=float(wr),
+        wi=float(wi),
+    )
+
+
+@dataclasses.dataclass
+class PoleSearchResult:
+    coarse: ScanResult
+    fine: ScanResult
+    superfine: ScanResult
+
+    @property
+    def z_pole(self):
+        return self.superfine.z_peak
+
+
+def coarse_to_fine_pole_search(
+    psi_z: ZTMPS,
+    *,
+    wr_coarse: float = float(TWO_PI),
+    wr_fine: float = 0.5,
+    wi: float = float(TWO_PI),
+    coarse_points: int = 256,
+    fine_points: int = 128,
+    superfine_half: int = 24,
+    cutoff: float = 1e-12,
+    maxdim: int = 128,
+    apply_fused: bool = True,
+) -> PoleSearchResult:
+    """Automated coarse -> fine -> superfine pole identification
+    (the flagship workflow, reference docs/src/tutorials/zt.jl:296-411).
+
+    coarse:    stride N/coarse_points over the full (k, l) grid at wr_coarse;
+    fine:      rebuild the zT MPO at wr_fine (denser radial sampling near
+               |z| = 1), scan a window around the coarse peak;
+    superfine: stride-1 window of half-width ``superfine_half`` around the
+               fine peak, reusing the fine transform.
+    """
+    n = psi_z.n
+    N = 2**n
+
+    def transform(wr):
+        W = build_zt_mpo(n, wr, cutoff=cutoff, maxdim=maxdim)
+        if apply_fused:
+            return apply(W, psi_z, maxdim=maxdim, cutoff=cutoff)
+        return apply(W, psi_z)
+
+    # --- coarse ---
+    stride_c = max(1, N // coarse_points)
+    psi_c = transform(wr_coarse)
+    ks_c = jnp.arange(0, N, stride_c)
+    coarse = pole_scan(psi_c, ks_c, ks_c, wr=wr_coarse, wi=wi)
+
+    # --- fine: re-center the coarse peak in the wr_fine coordinates ---
+    psi_f = transform(wr_fine)
+    k_c, l_c = kl_from_z(coarse.z_peak, n, wr_fine, wi)
+    half_k = max(1, int(round(stride_c * wr_coarse / wr_fine)))
+    half_l = max(1, stride_c)
+    stride_fk = max(1, (2 * half_k) // fine_points)
+    stride_fl = max(1, (2 * half_l) // fine_points)
+    ks_f = jnp.clip(
+        k_c + jnp.arange(-half_k, half_k + 1, stride_fk), 0, N - 1
+    )
+    ls_f = jnp.mod(l_c + jnp.arange(-half_l, half_l + 1, stride_fl), N)
+    fine = pole_scan(psi_f, ks_f, ls_f, wr=wr_fine, wi=wi)
+
+    # --- superfine: stride-1 zoom around the fine peak ---
+    h = superfine_half
+    ks_s = jnp.clip(fine.k_peak + jnp.arange(-h, h + 1), 0, N - 1)
+    ls_s = jnp.mod(fine.l_peak + jnp.arange(-h, h + 1), N)
+    superfine = pole_scan(psi_f, ks_s, ls_s, wr=wr_fine, wi=wi)
+
+    return PoleSearchResult(coarse=coarse, fine=fine, superfine=superfine)

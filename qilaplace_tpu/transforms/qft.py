@@ -1,0 +1,49 @@
+"""QFT MPO builder.
+
+Re-design of reference src/transforms/qft_transformer.jl:121-160. The
+reference zips each successive controlled-phase layer into the accumulated
+MPO with a no-truncation bottom-up sweep (zip_up_mpos, :13-66) followed by a
+truncating top-down sweep (zip_down_mpos, :69-101). Here each iteration is
+one fused zip-up composition + canonical polish sweeps over the full padded
+chain (ops.apply._compose_fused) — operator-equivalent, shape-static, and a
+single compiled program per layer.
+
+The result is the bit-reversed DFT operator Q_n (site 1 of the output holds
+the LSB of the frequency index), tested against qn_matrix
+(reference test/test_qft_transformer.jl:23-33, 331-374).
+The max bond dimension saturates at 8 (reference docs/src/benchmarking.md:211-213).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from qilaplace_tpu.circuits.qft_gates import control_Hphase_mpo
+from qilaplace_tpu.core.mpo import MPO, mpo_repad
+from qilaplace_tpu.ops.apply import apply_mpo_mpo, embed_window
+from qilaplace_tpu.utils.config import bucket_for
+
+
+def build_qft_mpo(
+    n: int,
+    *,
+    cutoff: float = 1e-14,
+    maxdim: int = 1000,
+    chi: int | None = None,
+    dtype=np.complex128,
+) -> MPO:
+    """Build the n-site QFT MPO (bit-reversed DFT with the -2*pi*i phase
+    convention and 1/sqrt(N) normalization)."""
+    if n < 1:
+        raise ValueError(f"build_qft_mpo: n must be >= 1, got {n}")
+    if chi is None:
+        chi = bucket_for(min(maxdim, 16))  # plateau is 8; headroom for sweeps
+    maxdim = min(maxdim, chi)
+
+    acc = mpo_repad(control_Hphase_mpo(n, dtype=dtype), chi)
+    for it in range(1, n):
+        layer = embed_window(control_Hphase_mpo(n - it, dtype=dtype), n, it)
+        acc = apply_mpo_mpo(
+            acc, layer, chi_out=chi, zip_maxdim=chi, cutoff=cutoff, maxdim=maxdim
+        )
+    return acc

@@ -1,0 +1,193 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qilaplace_tpu import (
+    MPS,
+    ZTMPS,
+    canonicalize,
+    coefficient,
+    coefficient_batch,
+    compress,
+    mps_to_vector,
+    norm,
+    signal_mps,
+    signal_ztmps,
+    siteindices,
+    bondindices,
+)
+from qilaplace_tpu.utils.bits import int_to_bits, int_to_paired_bits
+
+
+def random_mps(n, chi_true=3, seed=0, complex_=False):
+    rng = np.random.default_rng(seed)
+    cores = []
+    r_prev = 1
+    for i in range(n):
+        r_next = 1 if i == n - 1 else chi_true
+        shape = (r_prev, 2, r_next)
+        c = rng.normal(size=shape)
+        if complex_:
+            c = c + 1j * rng.normal(size=shape)
+        cores.append(c)
+        r_prev = r_next
+    return MPS.from_core_list(cores, amplitude=1.0)
+
+
+def test_from_core_list_roundtrip():
+    psi = random_mps(5, chi_true=3)
+    back = psi.to_core_list()
+    assert len(back) == 5
+    assert back[0].shape == (1, 2, 3)
+    assert back[2].shape == (3, 2, 3)
+    assert back[-1].shape == (3, 2, 1)
+
+
+def test_from_core_list_validation():
+    with pytest.raises(ValueError):
+        MPS.from_core_list([np.zeros((2, 2, 1))])  # bad left edge
+    with pytest.raises(ValueError):
+        MPS.from_core_list([np.zeros((1, 3, 1))])  # bad site dim
+    with pytest.raises(ValueError):
+        # mismatched bond wiring
+        MPS.from_core_list([np.zeros((1, 2, 3)), np.zeros((2, 2, 1))])
+
+
+def test_mps_to_vector_orders():
+    # encode a known vector; natural order must match the input
+    x = np.arange(1.0, 9.0)
+    psi = signal_mps(x, cutoff=0.0)
+    v = np.asarray(mps_to_vector(psi))
+    assert np.allclose(v, x, atol=1e-12)
+    vr = np.asarray(mps_to_vector(psi, reverse=True))
+    # reverse=True is bit-reversed ordering
+    from qilaplace_tpu.utils.bits import bit_reversal_permutation
+
+    perm = bit_reversal_permutation(3)
+    assert np.allclose(vr, x[perm], atol=1e-12)
+
+
+def test_amplitude_stores_norm():
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    psi = signal_mps(x)
+    assert np.isclose(float(psi.amplitude), np.linalg.norm(x))
+    assert np.isclose(float(norm(psi)), 1.0, atol=1e-12)
+
+
+def test_coefficient_matches_vector():
+    x = np.random.default_rng(1).normal(size=16)
+    psi = signal_mps(x, cutoff=0.0)
+    n = 4
+    for j in range(16):
+        bits = int_to_bits(j, n)  # MSB-first = natural config
+        c = complex(coefficient(psi, jnp.asarray(bits)))
+        assert np.isclose(c, x[j], atol=1e-12)
+    # getitem sugar
+    assert np.isclose(complex(psi[0, 0, 1, 1]), x[3], atol=1e-12)
+
+
+def test_coefficient_batch_matches_single():
+    x = np.random.default_rng(2).normal(size=32)
+    psi = signal_mps(x, cutoff=0.0)
+    configs = np.array([int_to_bits(j, 5) for j in range(32)])
+    got = np.asarray(coefficient_batch(psi, configs))
+    assert np.allclose(got, x, atol=1e-12)
+
+
+def test_norm_random_mps():
+    psi = random_mps(6, chi_true=4, seed=3, complex_=True)
+    v = np.asarray(mps_to_vector(psi))
+    assert np.isclose(float(norm(psi)), np.linalg.norm(v), atol=1e-10)
+
+
+@pytest.mark.parametrize("direction", ["left", "right"])
+def test_canonicalize_preserves_state(direction):
+    psi = random_mps(6, chi_true=4, seed=4, complex_=True)
+    v0 = np.asarray(mps_to_vector(psi))
+    out = canonicalize(psi, direction)
+    v1 = np.asarray(mps_to_vector(out))
+    assert np.allclose(v0, v1, atol=1e-10)
+
+
+def test_canonicalize_isometries():
+    psi = random_mps(5, chi_true=4, seed=5)
+    out = canonicalize(psi, "right")
+    cores = out.to_core_list()
+    for c in cores[:-1]:
+        l, s, r = c.shape
+        M = c.reshape(l * s, r)
+        G = M.conj().T @ M
+        assert np.allclose(G, np.eye(r), atol=1e-10)
+
+
+def test_compress_preserves_and_truncates():
+    # low-rank signal: sum of 2 decaying exponentials has tiny TT ranks
+    j = np.arange(2**8)
+    x = np.exp(-0.01 * j) + 0.5 * np.exp(-0.03 * j)
+    psi = signal_mps(x, cutoff=0.0)  # untruncated encode
+    out = compress(psi, maxdim=4, tol=1e-10)
+    v = np.asarray(mps_to_vector(out))
+    assert np.allclose(v, x, atol=1e-6 * np.linalg.norm(x))
+    assert int(jnp.max(out.ranks)) <= 4
+    # normalized tensor data
+    assert np.isclose(float(norm(out)), 1.0, atol=1e-10)
+
+
+def test_compress_absorbs_norm_into_amplitude():
+    x = np.random.default_rng(6).normal(size=64)
+    psi = signal_mps(x, cutoff=0.0)
+    out = compress(psi, tol=1e-12)
+    assert np.allclose(
+        np.asarray(mps_to_vector(out)), x, atol=1e-9 * np.linalg.norm(x)
+    )
+
+
+def test_ztmps_roundtrip_and_coefficient():
+    x = np.random.default_rng(7).normal(size=16)
+    zt = signal_ztmps(x, cutoff=1e-12)
+    assert isinstance(zt, ZTMPS)
+    n = 4
+    xn = x / np.linalg.norm(x)
+    # paired state: <j|<j| psi = x_j (normalized times amplitude)
+    for j in range(16):
+        cfg = int_to_paired_bits(j, n)
+        c = complex(coefficient(zt, jnp.asarray(cfg)))
+        assert np.isclose(c, x[j], atol=1e-10)
+    # off-diagonal (j on main, j' on copy) vanishes
+    from qilaplace_tpu.utils.bits import interleave_bits, int_to_bits
+
+    cfg = interleave_bits(int_to_bits(3, n), int_to_bits(5, n))
+    assert abs(complex(coefficient(zt, jnp.asarray(cfg)))) < 1e-10
+
+
+def test_ztmps_norm_and_vector():
+    x = np.random.default_rng(8).normal(size=8)
+    zt = signal_ztmps(x, cutoff=1e-12)
+    # paired state norm = 1 (amplitude carries the signal norm)
+    assert np.isclose(float(norm(zt)), 1.0, atol=1e-10)
+    v = np.asarray(mps_to_vector(zt))
+    assert v.shape == (64,)
+    assert np.isclose(np.linalg.norm(v), np.linalg.norm(x), atol=1e-8)
+
+
+def test_site_bond_indices():
+    x = np.ones(8)
+    psi = signal_mps(x)
+    zt = signal_ztmps(x)
+    m, c = siteindices(psi)
+    assert m == [0, 1, 2] and c == []
+    m, c = siteindices(zt)
+    assert m == [0, 2, 4] and c == [1, 3, 5]
+    bm, bc = bondindices(zt)
+    assert bm == [1, 3] and bc == [0, 2, 4]
+
+
+def test_jit_and_vmap_compatibility():
+    x = np.random.default_rng(9).normal(size=(4, 16))
+    encode = jax.vmap(lambda v: signal_mps(v, cutoff=0.0, chi=8))
+    batch = encode(jnp.asarray(x))
+    f = jax.jit(lambda m: norm(m))
+    # vmapped container: check one row survives jit through tree flattening
+    one = jax.tree_util.tree_map(lambda a: a[0], batch)
+    assert np.isclose(float(f(one)), 1.0, atol=1e-10)
