@@ -1,0 +1,19 @@
+from qilaplace_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    batched_signal_mps,
+    batched_qft_pipeline,
+    sharded_chi_grid,
+    fit_mpo_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "batched_signal_mps",
+    "batched_qft_pipeline",
+    "sharded_chi_grid",
+    "fit_mpo_step",
+]

@@ -1,0 +1,83 @@
+"""Pole-identification workflow tests (mirrors the flagship tutorial,
+reference docs/src/tutorials/zt.jl:296-411, at test-friendly scale)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from qilaplace_tpu import (
+    apply,
+    build_zt_mpo,
+    signal_ztmps,
+    chi_grid,
+    z_from_kl,
+    kl_from_z,
+    pole_scan,
+    coarse_to_fine_pole_search,
+)
+
+from helpers import analytical_zt
+
+
+def test_z_kl_roundtrip():
+    n, wr = 8, 0.5
+    for k, l in [(3, 7), (100, 200), (0, 0)]:
+        z = z_from_kl(k, l, n, wr)
+        k2, l2 = kl_from_z(z, n, wr)
+        assert int(k2) == k and int(l2) == l
+
+
+def test_chi_grid_vectors():
+    n, wr = 3, 1.0
+    x = np.random.default_rng(0).normal(size=8)
+    W = build_zt_mpo(n, wr, cutoff=1e-14)
+    out = apply(W, signal_ztmps(x, cutoff=1e-14))
+    ks = np.array([0, 3, 5])
+    ls = np.array([1, 2])
+    grid = np.asarray(chi_grid(out, ks, ls))
+    Z = analytical_zt(x, wr)
+    assert np.allclose(grid, Z[np.ix_(ks, ls)], atol=1e-8)
+
+
+def test_pole_scan_peak():
+    n, wr = 3, 0.75
+    x = np.random.default_rng(1).normal(size=8)
+    W = build_zt_mpo(n, wr, cutoff=1e-14)
+    out = apply(W, signal_ztmps(x, cutoff=1e-14))
+    res = pole_scan(out, np.arange(8), np.arange(8), wr=wr)
+    Z = analytical_zt(x, wr)
+    k0, l0 = np.unravel_index(np.argmax(np.abs(Z)), Z.shape)
+    assert int(res.k_peak) == k0 and int(res.l_peak) == l0
+    assert np.isclose(
+        complex(res.z_peak), complex(z_from_kl(k0, l0, n, wr)), atol=1e-12
+    )
+
+
+def test_coarse_to_fine_pole_search():
+    # Tutorial regime (reference docs/src/tutorials/zt.jl:250-268): a weakly
+    # growing oscillation a^j cos(w0 j) whose chi peaks near the poles
+    # z = (1/a) e^{-+i w0}, which must sit close to the unit circle for a
+    # magnitude scan to localize them (|chi| is radially monotonic away from
+    # the circle; the reference tutorial's pole sits at r = 0.99984).
+    n = 10
+    N = 2**n
+    a, w0 = 1.001, 0.7
+    j = np.arange(N)
+    x = a**j * np.cos(w0 * j)
+    psi_z = signal_ztmps(x, cutoff=1e-12, maxdim=64)
+    res = coarse_to_fine_pole_search(
+        psi_z,
+        coarse_points=128,
+        fine_points=64,
+        superfine_half=8,
+        cutoff=1e-12,
+        maxdim=64,
+    )
+    z_poles = [(1 / a) * np.exp(-1j * w0), (1 / a) * np.exp(1j * w0)]
+    z_hat = complex(res.z_pole)
+    err = min(abs(z_hat - zp) for zp in z_poles)
+    # pole radius error bounded by coarse radial resolution; angle much tighter
+    assert err < 5e-2, (z_hat, z_poles, err)
+    ang_err = min(
+        abs(np.angle(z_hat) - np.angle(zp)) for zp in z_poles
+    )
+    assert ang_err < 2 * np.pi * 16 / N, (z_hat, z_poles, ang_err)
