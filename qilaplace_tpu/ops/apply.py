@@ -217,6 +217,58 @@ def _compose_fused(
     return MPO(cores=cores4.reshape(n, chi_out, 2, 2, chi_out), ranks=ranks)
 
 
+def compose_layers(
+    acc: MPO,
+    layer_cores: jax.Array,
+    layer_ranks: jax.Array,
+    *,
+    cutoff: float,
+    maxdim: int,
+    final_sweeps: int = 1,
+) -> MPO:
+    """Fold a stack of layer MPOs into ``acc``: result = layer_L ∘ ... ∘
+    layer_1 ∘ acc, via one ``lax.scan`` whose body is the fused zip-up
+    composition + polish.
+
+    This is the TPU-shaped form of the reference's transform-build loops
+    (src/transforms/qft_transformer.jl:141-157,
+    dt_transformer.jl:351-405): every iteration has identical padded shapes,
+    so the whole build compiles to a single program whose size does not grow
+    with n.
+
+    layer_cores: [L, n, cl, 2, 2, cl]; layer_ranks: [L, n+1].
+    """
+    chi = acc.chi
+
+    def body(carry, layer):
+        cores, ranks = carry
+        lc, lr = layer
+        out = _compose_fused(
+            MPO(cores=cores, ranks=ranks),
+            MPO(cores=lc, ranks=lr),
+            chi_out=chi,
+            zip_maxdim=chi,
+            cutoff=cutoff,
+            maxdim=maxdim,
+            final_sweeps=final_sweeps,
+        )
+        return (out.cores, out.ranks), None
+
+    (cores, ranks), _ = jax.lax.scan(
+        body, (acc.cores, acc.ranks), (layer_cores, layer_ranks)
+    )
+    return MPO(cores=cores, ranks=ranks)
+
+
+def stack_layers(layers) -> tuple[jax.Array, jax.Array]:
+    """Stack a list of equal-shape MPO chains into (cores [L, ...],
+    ranks [L, n+1]) for :func:`compose_layers`."""
+    chains = [_mpo_chain(l) for l in layers]
+    cores = jnp.stack([c.cores for c in chains], axis=0)
+    ranks = jnp.stack([c.ranks for c in chains], axis=0)
+    return cores, ranks
+
+
 def apply_mpo_mpo(
     W1,
     W2,

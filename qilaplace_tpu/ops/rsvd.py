@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from qilaplace_tpu.ops.complexlinalg import ceigh, csvd
 from qilaplace_tpu.ops.truncation import truncation_rank
 
 
@@ -29,7 +30,7 @@ def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None):
     """
     a, l = Y.shape
     G = Y.conj().T @ Y
-    lam, V = jnp.linalg.eigh(G)  # ascending
+    lam, V = ceigh(G)  # ascending
     lam = lam[::-1]
     V = V[:, ::-1]
     lam = jnp.maximum(lam.real, 0.0)
@@ -94,7 +95,7 @@ def rsvd(
         Q, _ = gram_orthonormalize(Y)
 
     B = Q.conj().T @ M  # [l, b] small
-    Ub, s, Vh = jnp.linalg.svd(B, full_matrices=False)  # l x min(l,b)
+    Ub, s, Vh = csvd(B)  # l x min(l,b)
     rank = truncation_rank(s, cutoff, maxdim, mindim)
     kk = s.shape[0]
     keep = jnp.arange(kk) < rank

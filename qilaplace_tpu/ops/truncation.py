@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from qilaplace_tpu.ops.complexlinalg import csvd
+
 
 def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1) -> jax.Array:
     """Number of singular values kept under the relative-squared-cutoff rule.
@@ -50,7 +52,7 @@ def truncated_svd(M: jax.Array, *, cutoff=0.0, maxdim=None, mindim=1):
     k = min(a, b)
     if maxdim is None:
         maxdim = k
-    U, s, Vh = jnp.linalg.svd(M, full_matrices=False)
+    U, s, Vh = csvd(M)
     rank = truncation_rank(s, cutoff, maxdim, mindim)
     keep = jnp.arange(k) < rank
     s = jnp.where(keep, s, 0.0)

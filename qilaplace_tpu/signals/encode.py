@@ -20,6 +20,7 @@ complex copies of the signal.
 from __future__ import annotations
 
 import warnings
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -126,6 +127,12 @@ def _tt_rsvd(x, n: int, key, *, cutoff: float, maxdim: int, k: int, p: int, q: i
     return cores, ranks
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "method", "cutoff", "maxdim", "k", "p", "q", "seed", "chi"
+    ),
+)
 def signal_mps(
     x,
     *,
@@ -173,13 +180,23 @@ def signal_mps(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "method", "cutoff", "maxdim", "k", "p", "q", "seed", "chi"
+    ),
+)
 def signal_ztmps(
     x,
     *,
     cutoff: float = 1e-10,
     maxdim: int = 2**62,
     chi: int | None = None,
-    **kwargs,
+    method: str = "svd",
+    k: int = 20,
+    p: int = 10,
+    q: int = 0,
+    seed: int = 1234,
 ) -> ZTMPS:
     """Encode a dense signal into the paired-register ZTMPS
     (reference SignalConverters.signal_ztmps, :247-283).
@@ -188,7 +205,10 @@ def signal_ztmps(
     (main, copy) pair via the copy tensor delta(s, s_main, s_copy) and splits
     with a truncated SVD, vmapped over sites.
     """
-    psi = signal_mps(x, cutoff=cutoff, maxdim=maxdim, chi=chi, **kwargs)
+    psi = signal_mps(
+        x, method=method, cutoff=cutoff, maxdim=maxdim, chi=chi,
+        k=k, p=p, q=q, seed=seed,
+    )
     n, chi_s = psi.n, psi.chi
 
     # T[l, s_main, s_copy, r] = cores[l, s, r] * delta(s, s_main, s_copy)

@@ -3,10 +3,11 @@
 Re-design of reference src/transforms/qft_transformer.jl:121-160. The
 reference zips each successive controlled-phase layer into the accumulated
 MPO with a no-truncation bottom-up sweep (zip_up_mpos, :13-66) followed by a
-truncating top-down sweep (zip_down_mpos, :69-101). Here each iteration is
-one fused zip-up composition + canonical polish sweeps over the full padded
-chain (ops.apply._compose_fused) — operator-equivalent, shape-static, and a
-single compiled program per layer.
+truncating top-down sweep (zip_down_mpos, :69-101). Here the build is a
+single ``lax.scan`` over the stacked layer MPOs whose body is the fused
+zip-up composition + canonical polish sweeps (ops.apply.compose_layers) —
+operator-equivalent, shape-static, and one compiled program whose size does
+not grow with n.
 
 The result is the bit-reversed DFT operator Q_n (site 1 of the output holds
 the LSB of the frequency index), tested against qn_matrix
@@ -16,14 +17,22 @@ The max bond dimension saturates at 8 (reference docs/src/benchmarking.md:211-21
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
 import numpy as np
 
 from qilaplace_tpu.circuits.qft_gates import control_Hphase_mpo
-from qilaplace_tpu.core.mpo import MPO, mpo_repad
-from qilaplace_tpu.ops.apply import apply_mpo_mpo, embed_window
+from qilaplace_tpu.core.mpo import MPO, identity_mpo, mpo_repad
+from qilaplace_tpu.ops.apply import compose_layers, embed_window, stack_layers
 from qilaplace_tpu.utils.config import bucket_for
 
+_STATIC_BUILD_QFT_MPO = ("n", "cutoff", "maxdim", "chi", "dtype")
 
+
+@partial(jax.jit, static_argnames=_STATIC_BUILD_QFT_MPO)
 def build_qft_mpo(
     n: int,
     *,
@@ -40,10 +49,15 @@ def build_qft_mpo(
         chi = bucket_for(min(maxdim, 16))  # plateau is 8; headroom for sweeps
     maxdim = min(maxdim, chi)
 
-    acc = mpo_repad(control_Hphase_mpo(n, dtype=dtype), chi)
-    for it in range(1, n):
-        layer = embed_window(control_Hphase_mpo(n - it, dtype=dtype), n, it)
-        acc = apply_mpo_mpo(
-            acc, layer, chi_out=chi, zip_maxdim=chi, cutoff=cutoff, maxdim=maxdim
-        )
-    return acc
+    if n == 1:
+        return mpo_repad(control_Hphase_mpo(1, dtype=dtype), chi)
+
+    layers = [
+        embed_window(control_Hphase_mpo(n - it, dtype=dtype), n, it)
+        for it in range(n)
+    ]
+    layer_cores, layer_ranks = stack_layers(layers)
+    acc = identity_mpo(n, chi=chi, dtype=jnp.dtype(dtype))
+    return compose_layers(
+        acc, layer_cores, layer_ranks, cutoff=cutoff, maxdim=maxdim
+    )

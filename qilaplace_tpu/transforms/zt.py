@@ -1,10 +1,12 @@
 """z-transform (discrete Laplace) MPO builder.
 
 Re-design of reference src/transforms/zt_transformer.jl:41-106:
-W_zt = W_qft_paired ∘ W_dt, built as (1) the DT MPO, (2) the paired
-2n-site QFT from control_Hphase_ztmps_mpo blocks, (3) one fused composition
-(the reference fuses with apply(W_dt, mpo_qft) — DT acts first — then runs a
-final compress sweep, :101-104).
+W_zt = W_qft_paired ∘ W_dt. The reference builds the DT MPO and the paired
+2n-site QFT separately, fuses them once with apply(W_dt, mpo_qft) — DT acts
+first — and runs a final compress sweep (:101-104). Here the DT blocks and
+the paired-QFT blocks are folded in one scanned composition program (DT
+layers first, then QFT layers — the same operator ordering), so the whole
+build is a single compiled scan.
 
 Coefficients: chi(k, l) = (1/N) sum_j x_j e^{-(wr*k + 2*pi*i*l) j / N},
 addressed on the output by interleaved LSB-first (k, l) bits
@@ -14,15 +16,34 @@ plateaus near 89-92 (reference docs/src/benchmarking.md:216-219).
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
 import numpy as np
 
+from qilaplace_tpu.circuits.dt_gates import (
+    control_damping_copy_mpo,
+    control_damping_mpo,
+)
 from qilaplace_tpu.circuits.zt_gates import control_Hphase_ztmps_mpo
-from qilaplace_tpu.core.mpo import PairedSiteMPO, mpo_repad
-from qilaplace_tpu.ops.apply import apply_mpo_mpo, embed_window
-from qilaplace_tpu.transforms.dt import build_dt_mpo
+from qilaplace_tpu.core.mpo import PairedSiteMPO, identity_mpo, mpo_repad
+from qilaplace_tpu.ops.apply import (
+    apply_mpo_mpo,
+    compose_layers,
+    embed_window,
+    stack_layers,
+)
 from qilaplace_tpu.utils.config import bucket_for
 
+_STATIC_BUILD_PAIRED_QFT_MPO = ("n", "cutoff", "maxdim", "chi", "dtype")
+_STATIC_BUILD_ZT_MPO = (
+    "n", "wr", "cutoff", "maxdim", "chi", "chi_dt", "chi_qft", "dtype"
+)
 
+
+@partial(jax.jit, static_argnames=_STATIC_BUILD_PAIRED_QFT_MPO)
 def build_paired_qft_mpo(
     n: int,
     *,
@@ -36,16 +57,21 @@ def build_paired_qft_mpo(
     if chi is None:
         chi = bucket_for(min(maxdim, 16))
     maxdim = min(maxdim, chi)
-    acc = mpo_repad(control_Hphase_ztmps_mpo(1, dtype=dtype), chi)
-    acc = embed_window(acc, 2 * n, 0)
-    for k in range(2, n + 1):
-        layer = embed_window(control_Hphase_ztmps_mpo(k, dtype=dtype), 2 * n, 0)
-        acc = apply_mpo_mpo(
-            acc, layer, chi_out=chi, zip_maxdim=chi, cutoff=cutoff, maxdim=maxdim
-        )
-    return acc
+    if n == 1:
+        return mpo_repad(control_Hphase_ztmps_mpo(1, dtype=dtype), chi)
+    layers = [
+        embed_window(control_Hphase_ztmps_mpo(k, dtype=dtype), 2 * n, 0)
+        for k in range(1, n + 1)
+    ]
+    layer_cores, layer_ranks = stack_layers(layers)
+    acc = identity_mpo(n, chi=chi, dtype=jnp.dtype(dtype), paired=True)
+    out = compose_layers(
+        acc.chain, layer_cores, layer_ranks, cutoff=cutoff, maxdim=maxdim
+    )
+    return PairedSiteMPO(chain=out)
 
 
+@partial(jax.jit, static_argnames=_STATIC_BUILD_ZT_MPO)
 def build_zt_mpo(
     n: int,
     wr: float,
@@ -58,25 +84,43 @@ def build_zt_mpo(
     dtype=np.complex128,
 ) -> PairedSiteMPO:
     """Build the z-transform MPO at damping ``wr`` (angular axis fixed at
-    omega_i = 2*pi by the QFT factor)."""
+    omega_i = 2*pi by the QFT factor).
+
+    ``chi_dt``/``chi_qft`` are accepted for API compatibility; the scanned
+    single-stack build uses one working bond budget ``chi``.
+    """
     if n < 1:
         raise ValueError(f"build_zt_mpo: n must be >= 1, got {n}")
     if chi is None:
         chi = bucket_for(min(maxdim, 128))  # plateau ~89-92
-    maxdim_out = min(maxdim, chi)
+    maxdim = min(maxdim, chi)
 
-    W_dt = build_dt_mpo(n, wr, cutoff=cutoff, maxdim=maxdim, chi=chi_dt, dtype=dtype)
-    W_qft = build_paired_qft_mpo(
-        n, cutoff=cutoff, maxdim=maxdim, chi=chi_qft, dtype=dtype
-    )
     if n == 1:
-        W = apply_mpo_mpo(W_dt, W_qft)  # exact; tiny chain
-        return mpo_repad(W, chi)
-    return apply_mpo_mpo(
-        W_dt,
-        W_qft,
-        chi_out=chi,
-        zip_maxdim=chi,
-        cutoff=cutoff,
-        maxdim=maxdim_out,
+        W_dt = mpo_repad(control_damping_mpo(n, 1, wr, dtype=dtype), 8)
+        W_qft = control_Hphase_ztmps_mpo(1, dtype=dtype)
+        return mpo_repad(apply_mpo_mpo(W_dt, W_qft), chi)
+
+    layers = (
+        [
+            embed_window(control_damping_mpo(n, k, wr, dtype=dtype), 2 * n, 0)
+            for k in range(1, n + 1)
+        ]
+        + [
+            embed_window(
+                control_damping_copy_mpo(n, k, wr, dtype=dtype),
+                2 * n,
+                2 * (k - 1),
+            )
+            for k in range(1, n)
+        ]
+        + [
+            embed_window(control_Hphase_ztmps_mpo(k, dtype=dtype), 2 * n, 0)
+            for k in range(1, n + 1)
+        ]
     )
+    layer_cores, layer_ranks = stack_layers(layers)
+    acc = identity_mpo(n, chi=chi, dtype=jnp.dtype(dtype), paired=True)
+    out = compose_layers(
+        acc.chain, layer_cores, layer_ranks, cutoff=cutoff, maxdim=maxdim
+    )
+    return PairedSiteMPO(chain=out)

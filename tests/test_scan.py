@@ -45,10 +45,12 @@ def test_pole_scan_peak():
     out = apply(W, signal_ztmps(x, cutoff=1e-14))
     res = pole_scan(out, np.arange(8), np.arange(8), wr=wr)
     Z = analytical_zt(x, wr)
-    k0, l0 = np.unravel_index(np.argmax(np.abs(Z)), Z.shape)
-    assert int(res.k_peak) == k0 and int(res.l_peak) == l0
+    # real signals give conjugate-symmetric chi -> the max can be exactly
+    # tied; require the found peak to attain the max magnitude
+    kp, lp = int(res.k_peak), int(res.l_peak)
+    assert np.isclose(np.abs(Z[kp, lp]), np.abs(Z).max(), atol=1e-10)
     assert np.isclose(
-        complex(res.z_peak), complex(z_from_kl(k0, l0, n, wr)), atol=1e-12
+        complex(res.z_peak), complex(z_from_kl(kp, lp, n, wr)), atol=1e-12
     )
 
 
