@@ -7,8 +7,10 @@ Driver target (BASELINE.json): n=30, chi=128 zT apply + 4096-point pole scan
 reports the speedup 20.036 / value.
 
 The timed region is the jitted device program: fused MPO-MPS apply at
-maxdim=128 plus a 4096-configuration coefficient scan. Encode and MPO build
-are one-time setup (reported to stderr, not part of the metric).
+maxdim=128 plus a 4096-configuration coefficient scan, returning |chi| (the
+tunneled TPU backend cannot transfer complex arrays to the host, so all
+fetches are f32). Encode and MPO build are one-time setup (reported to
+stderr, not part of the metric).
 
 Prints exactly ONE JSON line to stdout.
 """
@@ -20,9 +22,13 @@ import os
 import sys
 import time
 
-import numpy as np
-
 import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
 import jax.numpy as jnp
 
 BASELINE_S = 20.036
@@ -37,7 +43,6 @@ def log(*a):
 def run(n: int) -> float:
     from qilaplace_tpu import build_zt_mpo, generate_signal, signal_ztmps
     from qilaplace_tpu.core.mps import coefficient_batch
-    from qilaplace_tpu.core.mpo import max_bond
     from qilaplace_tpu.ops.apply import apply
     from qilaplace_tpu.utils.bits import paired_config_from_kl
 
@@ -51,23 +56,22 @@ def run(n: int) -> float:
     psi = signal_ztmps(
         x, method="rsvd", k=50, p=5, q=2, cutoff=1e-9, maxdim=CHI, chi=CHI
     )
-    psi.chain.cores.block_until_ready()
+    mps_bond = int(jnp.max(psi.chain.ranks))  # int fetch is supported
     log(
         f"encode (rsvd) in {time.perf_counter() - t0:.2f}s, "
-        f"max bond {int(jnp.max(psi.chain.ranks))}"
+        f"max bond {mps_bond}"
     )
 
     t0 = time.perf_counter()
-    W = build_zt_mpo(n, 2 * np.pi, cutoff=1e-7, maxdim=CHI, chi=CHI,
+    W = build_zt_mpo(n, 2 * np.pi, cutoff=1e-9, maxdim=CHI, chi=CHI,
                      dtype=np.complex64)
-    W.chain.cores.block_until_ready()
+    mpo_bond = int(jnp.max(W.chain.ranks))
     log(
         f"zT MPO built in {time.perf_counter() - t0:.2f}s, "
-        f"max bond {int(max_bond(W))}"
+        f"max bond {mpo_bond}"
     )
 
     rng = np.random.default_rng(0)
-    side = int(np.sqrt(N_SCAN))
     ks = jnp.asarray(rng.integers(0, 2**n, size=N_SCAN))
     ls = jnp.asarray(rng.integers(0, 2**n, size=N_SCAN))
     configs = paired_config_from_kl(ks, ls, n)
@@ -75,16 +79,20 @@ def run(n: int) -> float:
     @jax.jit
     def step(W, psi, configs):
         out = apply(W, psi, maxdim=CHI, cutoff=1e-9)
-        return coefficient_batch(out, configs)
+        vals = coefficient_batch(out, configs)
+        return jnp.abs(vals).astype(jnp.float32)
 
     t0 = time.perf_counter()
-    step(W, psi, configs).block_until_ready()
-    log(f"compile+first run {time.perf_counter() - t0:.2f}s")
+    first = np.asarray(step(W, psi, configs))  # compile + run + full fetch
+    log(
+        f"compile+first run {time.perf_counter() - t0:.2f}s, "
+        f"|chi| peak {first.max():.3e}"
+    )
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        step(W, psi, configs).block_until_ready()
+        np.asarray(step(W, psi, configs))
         times.append(time.perf_counter() - t0)
     log(f"runs: {['%.4f' % t for t in times]}")
     return float(np.median(times))
@@ -92,24 +100,28 @@ def run(n: int) -> float:
 
 def main():
     log(f"devices: {jax.devices()}")
+    last_err = None
     for n in (int(os.environ.get("BENCH_N", "30")), 26, 22):
-        try:
-            t = run(n)
-            print(
-                json.dumps(
-                    {
-                        "metric": "zt_apply_scan4096_chi128_wall_s",
-                        "value": round(t, 6),
-                        "unit": "s",
-                        "vs_baseline": round(BASELINE_S / t, 2),
-                        "n": n,
-                    }
+        for attempt in range(2):
+            try:
+                t = run(n)
+                print(
+                    json.dumps(
+                        {
+                            "metric": "zt_apply_scan4096_chi128_wall_s",
+                            "value": round(t, 6),
+                            "unit": "s",
+                            "vs_baseline": round(BASELINE_S / t, 2),
+                            "n": n,
+                        }
+                    )
                 )
-            )
-            return
-        except Exception as e:  # OOM or backend failure: retry smaller
-            log(f"n={n} failed: {type(e).__name__}: {e}")
-    raise SystemExit("bench failed at all sizes")
+                return
+            except Exception as e:  # transient tunnel error or OOM: retry
+                last_err = e
+                log(f"n={n} attempt {attempt}: {type(e).__name__}: {e}")
+                time.sleep(20)
+    raise SystemExit(f"bench failed at all sizes: {last_err}")
 
 
 if __name__ == "__main__":

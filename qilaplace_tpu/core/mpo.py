@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qilaplace_tpu.utils.config import bucket_for
+from qilaplace_tpu.utils.config import highest_precision
 
 
 @partial(
@@ -127,6 +128,7 @@ def identity_mpo(n: int, *, chi: int = 1, dtype=jnp.complex64, paired: bool = Fa
     return PairedSiteMPO(chain=W) if paired else W
 
 
+@highest_precision
 def mpo_to_dense(W) -> jax.Array:
     """Dense operator matrix [2^n, 2^n] with site 1 = most significant bit
     on both the row (s_out) and column (s_in) index. Test/small-n only."""

@@ -28,6 +28,7 @@ import numpy as np
 
 from qilaplace_tpu.ops.truncation import svd_split
 from qilaplace_tpu.utils.config import bucket_for
+from qilaplace_tpu.utils.config import highest_precision
 
 
 @partial(
@@ -165,6 +166,7 @@ def bondindices(psi):
 
 # ------------------------------ dense readout ------------------------------
 
+@highest_precision
 def mps_to_vector(psi, *, reverse: bool = False) -> jax.Array:
     """Full dense vector (test/small-n only: materializes 2^n entries).
 
@@ -183,6 +185,7 @@ def mps_to_vector(psi, *, reverse: bool = False) -> jax.Array:
     return T.reshape(-1) * m.amplitude
 
 
+@highest_precision
 def norm(psi) -> jax.Array:
     """Euclidean norm sqrt(<psi|psi>) of the tensor data (excludes the stored
     amplitude, like reference src/mps.jl:754-771)."""
@@ -200,6 +203,7 @@ def norm(psi) -> jax.Array:
 
 # ------------------------------- coefficient -------------------------------
 
+@highest_precision
 def coefficient(psi, config) -> jax.Array:
     """Amplitude <config|psi> for a zero-based bit configuration.
 
@@ -222,6 +226,7 @@ def coefficient(psi, config) -> jax.Array:
     return m.amplitude * v[0]
 
 
+@highest_precision
 def coefficient_batch(psi, configs) -> jax.Array:
     """Vectorized coefficient: ``configs`` [B, n] -> [B] amplitudes.
 
@@ -307,6 +312,7 @@ def _sweep_left(cores, ranks, *, cutoff, maxdim, start: int, stop: int):
     return cores, ranks
 
 
+@highest_precision
 def canonicalize(
     psi,
     direction: str,
@@ -384,6 +390,7 @@ def _two_site_sweep(cores, ranks, *, cutoff, maxdim, reverse: bool):
     return cores, ranks
 
 
+@highest_precision
 def compress(psi, *, maxdim: int | None = None, tol: float = 1e-12, sweeps: int = 1):
     """Truncate bond dimensions via alternating two-site SVD sweeps and
     renormalize, absorbing the norm into ``amplitude``

@@ -31,6 +31,7 @@ from qilaplace_tpu.core.mps import (
     _two_site_sweep,
 )
 from qilaplace_tpu.ops.truncation import svd_split
+from qilaplace_tpu.utils.config import highest_precision
 
 
 def _apply_exact(W: MPO, psi: MPS) -> MPS:
@@ -117,6 +118,7 @@ def _apply_fused(
     return out
 
 
+@highest_precision
 def apply(
     W,
     psi,
@@ -217,6 +219,7 @@ def _compose_fused(
     return MPO(cores=cores4.reshape(n, chi_out, 2, 2, chi_out), ranks=ranks)
 
 
+@highest_precision
 def compose_layers(
     acc: MPO,
     layer_cores: jax.Array,
@@ -269,6 +272,7 @@ def stack_layers(layers) -> tuple[jax.Array, jax.Array]:
     return cores, ranks
 
 
+@highest_precision
 def apply_mpo_mpo(
     W1,
     W2,
@@ -319,6 +323,7 @@ def apply_mpo_mpo(
     return PairedSiteMPO(chain=res) if paired else res
 
 
+@highest_precision
 def mpo_compress(W, *, cutoff: float = 1e-14, maxdim: int | None = None, sweeps: int = 1):
     """Two-pass canonical compression of an MPO chain: gauge sweep then
     truncating two-site sweeps (reference zip_to_compress_mpo,
@@ -342,6 +347,7 @@ def mpo_compress(W, *, cutoff: float = 1e-14, maxdim: int | None = None, sweeps:
     return PairedSiteMPO(chain=res) if isinstance(W, PairedSiteMPO) else res
 
 
+@highest_precision
 def embed_window(W, n_total: int, start: int):
     """Embed a window MPO into an ``n_total``-site chain, identities outside
     (reference test/preamble_test.jl:128-181 embed_mpo)."""

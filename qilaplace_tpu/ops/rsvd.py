@@ -21,8 +21,10 @@ import jax.numpy as jnp
 
 from qilaplace_tpu.ops.complexlinalg import ceigh, csvd
 from qilaplace_tpu.ops.truncation import truncation_rank
+from qilaplace_tpu.utils.config import highest_precision
 
 
+@highest_precision
 def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None):
     """Orthonormal basis of range(Y) via the Gram matrix, padding-safe.
 
@@ -48,6 +50,7 @@ def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None):
     return Q, rank
 
 
+@highest_precision
 def rsvd(
     M: jax.Array,
     key: jax.Array,

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from qilaplace_tpu.ops.complexlinalg import csvd
+from qilaplace_tpu.utils.config import highest_precision
 
 
 def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1) -> jax.Array:
@@ -41,6 +42,7 @@ def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1) -> jax.Array:
     return rank.astype(jnp.int32)
 
 
+@highest_precision
 def truncated_svd(M: jax.Array, *, cutoff=0.0, maxdim=None, mindim=1):
     """SVD with mask-based truncation.
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from qilaplace_tpu.core.mps import MPS, ZTMPS
 from qilaplace_tpu.ops.rsvd import rsvd
 from qilaplace_tpu.ops.truncation import svd_split
-from qilaplace_tpu.utils.config import bucket_for
+from qilaplace_tpu.utils.config import bucket_for, highest_precision
 
 
 def _pad_to_stack(core_list, amplitude, chi: int):
@@ -133,6 +133,7 @@ def _tt_rsvd(x, n: int, key, *, cutoff: float, maxdim: int, k: int, p: int, q: i
         "method", "cutoff", "maxdim", "k", "p", "q", "seed", "chi"
     ),
 )
+@highest_precision
 def signal_mps(
     x,
     *,
@@ -186,6 +187,7 @@ def signal_mps(
         "method", "cutoff", "maxdim", "k", "p", "q", "seed", "chi"
     ),
 )
+@highest_precision
 def signal_ztmps(
     x,
     *,

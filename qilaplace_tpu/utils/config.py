@@ -43,3 +43,25 @@ def real_dtype(dtype) -> jnp.dtype:
     if dtype == jnp.complex64:
         return jnp.dtype(jnp.float32)
     return dtype
+
+
+import functools
+
+import jax
+
+
+def highest_precision(fn):
+    """Trace ``fn`` under HIGHEST matmul precision.
+
+    TPU matmuls default to bf16 inputs (~1e-3 element error), which is far
+    too coarse for tensor-network sweeps and the complex-linalg fallbacks;
+    every public compute entry point wraps itself with this so contractions
+    accumulate in full f32 regardless of global configuration.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
