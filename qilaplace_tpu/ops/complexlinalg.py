@@ -80,8 +80,10 @@ def _cluster_remix(candidates: jax.Array, vals2: jax.Array, vals_sel: jax.Array,
     ).astype(dtype)
     Z = candidates @ (Om * member.astype(dtype))
     G = Z.conj().T @ Z
-    nrm = jnp.sqrt(jnp.linalg.norm(G)) + jnp.finfo(vals2.dtype).tiny
-    Z = Z / nrm.astype(dtype)
+    # spectral-norm upper bound (hermitian): max absolute row sum — tighter
+    # than Frobenius, so Newton-Schulz recovers small directions faster
+    bound = jnp.max(jnp.sum(jnp.abs(G), axis=1)) + jnp.finfo(vals2.dtype).tiny
+    Z = Z / jnp.sqrt(bound).astype(dtype)
     eye = jnp.eye(k, dtype=dtype)
     for _ in range(25):
         G = Z.conj().T @ Z
@@ -132,8 +134,19 @@ def csvd(M: jax.Array):
         .set(M.conj().T)
     )
     lam, Wv = ceigh(D)  # ascending: [-sigma ...(zeros)... +sigma]
-    s = lam[a + b - k :][::-1]  # top-k, descending
-    Z = Wv[:, a + b - k :][:, ::-1]
+    Z = Wv[:, a + b - k :]  # kept block (positive sigmas), ascending
+    # Rayleigh-Ritz polish: at this size/structure the TPU eigh converges
+    # the extreme eigenpairs but leaves O(1) residual mixing in the
+    # interior. Re-diagonalizing the projected block T = Z^H D Z (nearly
+    # diagonal, so the nested Jacobi converges sharply) removes all
+    # within-block mixing; contamination from outside the block is bounded
+    # by the well-converged extreme directions.
+    T = Z.conj().T @ (D @ Z)
+    T = 0.5 * (T + T.conj().T)
+    lamT, Q = ceigh(T)
+    Z = Z @ Q
+    s = lamT[::-1]
+    Z = Z[:, ::-1]
     sqrt2 = jnp.asarray(np.sqrt(2.0), dtype=M.dtype)
     U = Z[:a] * sqrt2
     V = Z[a:] * sqrt2
