@@ -143,6 +143,35 @@ def mpo_to_dense(W) -> jax.Array:
     return T.reshape(2**n, 2**n)
 
 
+def mpo_from_traced(core_list, chi: int | None = None) -> MPO:
+    """Stack traced (jnp) cores ``[l_i, 2, 2, r_i]`` into a padded MPO.
+
+    Like MPO.from_core_list but for cores holding traced values (e.g. gate
+    tensors parameterized by a traced damping wr); ranks come from the
+    static shapes."""
+    ranks = [1] + [int(c.shape[3]) for c in core_list]
+    if core_list[0].shape[0] != 1 or core_list[-1].shape[3] != 1:
+        raise ValueError("edge cores must have boundary bond dimension 1")
+    if chi is None:
+        chi = bucket_for(max(ranks))
+    padded = [
+        jnp.pad(
+            c,
+            (
+                (0, chi - c.shape[0]),
+                (0, 0),
+                (0, 0),
+                (0, chi - c.shape[3]),
+            ),
+        )
+        for c in core_list
+    ]
+    return MPO(
+        cores=jnp.stack(padded, axis=0),
+        ranks=jnp.asarray(ranks, dtype=jnp.int32),
+    )
+
+
 def mpo_repad(W, chi_new: int):
     """Re-pad MPO bonds to a new static bucket (see core.mps.repad)."""
     m = _mpo_chain(W)

@@ -23,10 +23,11 @@ different clusters vanishes by J-invariance, so later whitening cannot leak
 between subspaces), and orthonormalize with a scaled Newton-Schulz
 iteration (matmuls only).
 
-The SVD goes through the Hermitian dilation [[0, M], [M^H, 0]] + ceigh: U
-and V come out of the same eigenvector (phase-consistent), singular values
-are unsquared, and only eigh is needed — the TPU's f32 eigh is an order of
-magnitude more accurate than its f32 SVD.
+The SVD uses a complete Gram eigenbasis of the smaller side: correctness
+(U (U^H M) == M) holds for ANY complete orthonormal basis, so the TPU
+eigh's accuracy limits only truncation optimality, never reconstruction;
+singular values are read off unsquared as factor column norms and sorted
+explicitly.
 """
 
 from __future__ import annotations
@@ -113,53 +114,53 @@ def ceigh(H: jax.Array):
 def csvd(M: jax.Array):
     """Reduced SVD ``M = U diag(s) Vh`` with descending s.
 
-    Native on CPU / for real dtypes. Elsewhere: eigendecompose the Hermitian
-    dilation D = [[0, M], [M^H, 0]] via :func:`ceigh` — its positive
-    eigenpairs are exactly (sigma, (u; v)/sqrt2), so U and V come out of the
-    same eigenvector with consistent phases and unsquared singular values.
-    (The TPU's f32 eigh is an order of magnitude more accurate than its f32
-    SVD, measured 7e-6 vs 1e-3 orthogonality error at dim ~1e2-1e3.)
-    Factor columns/rows whose singular value sits below the noise floor
-    (16 eps s_max) are zeroed — they carry negligible weight.
+    Native on CPU / for real dtypes; complete-Gram-basis route elsewhere
+    (see module docstring). Factor rows/columns whose singular value sits
+    below the noise floor are zeroed — they carry negligible weight.
     """
     if not jnp.issubdtype(M.dtype, jnp.complexfloating) or _native_complex_linalg():
         return jnp.linalg.svd(M, full_matrices=False)
     a, b = M.shape
-    k = min(a, b)
-    D = (
-        jnp.zeros((a + b, a + b), dtype=M.dtype)
-        .at[:a, a:]
-        .set(M)
-        .at[a:, :a]
-        .set(M.conj().T)
-    )
-    lam, Wv = ceigh(D)  # ascending: [-sigma ...(zeros)... +sigma]
-    Z = Wv[:, a + b - k :]  # kept block (positive sigmas), ascending
-    # Rayleigh-Ritz polish: at this size/structure the TPU eigh converges
-    # the extreme eigenpairs but leaves O(1) residual mixing in the
-    # interior. Re-diagonalizing the projected block T = Z^H D Z (nearly
-    # diagonal, so the nested Jacobi converges sharply) removes all
-    # within-block mixing; contamination from outside the block is bounded
-    # by the well-converged extreme directions.
-    T = Z.conj().T @ (D @ Z)
-    T = 0.5 * (T + T.conj().T)
-    lamT, Q = ceigh(T)
-    Z = Z @ Q
-    s = lamT[::-1]
-    Z = Z[:, ::-1]
-    sqrt2 = jnp.asarray(np.sqrt(2.0), dtype=M.dtype)
-    U = Z[:a] * sqrt2
-    V = Z[a:] * sqrt2
-    # re-normalize columns (numerical u/v norm split) and mask tiny sigmas
-    eps = jnp.finfo(lam.dtype).eps
-    smax = jnp.maximum(s[0], jnp.finfo(lam.dtype).tiny)
-    floor = 16.0 * eps * smax
-    keep = s > floor
-    un = jnp.linalg.norm(U, axis=0)
-    vn = jnp.linalg.norm(V, axis=0)
-    u_inv = jnp.where(keep & (un > 0), 1.0 / jnp.where(un > 0, un, 1.0), 0.0)
-    v_inv = jnp.where(keep & (vn > 0), 1.0 / jnp.where(vn > 0, vn, 1.0), 0.0)
-    U = U * u_inv[None, :].astype(M.dtype)
-    V = V * v_inv[None, :].astype(M.dtype)
-    s = jnp.maximum(s, 0.0)
+
+    # Complete-Gram-basis route. With U a COMPLETE orthonormal basis of the
+    # smaller side, U (U^H M) == M holds exactly no matter how accurate the
+    # eigenvectors are — eigen quality only affects how diagonal the split
+    # is (truncation optimality), never correctness. This matters because
+    # the TPU f32 eigh leaves O(1) interior residuals on structured spectra;
+    # a Rayleigh-Ritz re-diagonalization pass (nearly-diagonal input, which
+    # the Jacobi solver handles sharply) restores diagonality, and singular
+    # values are read off unsquared as column norms and explicitly sorted.
+    def _basis(G):
+        G = 0.5 * (G + G.conj().T)
+        _, Q = ceigh(G)
+        T = Q.conj().T @ (G @ Q)
+        T = 0.5 * (T + T.conj().T)
+        _, Q2 = ceigh(T)
+        return Q @ Q2
+
+    eps = jnp.finfo(M.real.dtype).eps
+    if a <= b:
+        U = _basis(M @ M.conj().T)  # [a, a] complete
+        B = U.conj().T @ M  # rows are s_j v_j^H; U @ B == M exactly
+        s = jnp.linalg.norm(B, axis=1)
+        order = jnp.argsort(-s)
+        U = U[:, order]
+        B = B[order]
+        s = s[order]
+        smax = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
+        keep = s > 4.0 * eps * smax
+        inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+        Vh = B * inv[:, None].astype(M.dtype)
+        return U, s, Vh
+    V = _basis(M.conj().T @ M)  # [b, b] complete
+    B = M @ V  # columns are s_j u_j; B @ V^H == M exactly
+    s = jnp.linalg.norm(B, axis=0)
+    order = jnp.argsort(-s)
+    V = V[:, order]
+    B = B[:, order]
+    s = s[order]
+    smax = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
+    keep = s > 4.0 * eps * smax
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+    U = B * inv[None, :].astype(M.dtype)
     return U, s, V.conj().T

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from qilaplace_tpu.ops.complexlinalg import csvd
+from qilaplace_tpu.ops.complexlinalg import csvd, _native_complex_linalg
 from qilaplace_tpu.utils.config import highest_precision
 
 
@@ -27,6 +27,14 @@ def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1) -> jax.Array:
 
     ``s`` must be non-negative and sorted descending (jnp.linalg.svd output).
     Returns a traced int32 in [mindim, min(maxdim, len(s))].
+
+    On the real-embedding backend path (no native complex SVD), basis
+    rotation leaves a flat tail of junk singular values around 1e-4 * s_max
+    whose squared sum can exceed tiny cutoffs and pin ranks at the cap; a
+    gap-aware noise haircut removes that tail. It only engages when the
+    bottom-quarter median sits well below s_max (flat spectra — e.g.
+    unitary operators — stay untouched), and never on the native path, so
+    CPU parity semantics are exact.
     """
     p = s * s
     k = s.shape[0]
@@ -38,6 +46,12 @@ def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1) -> jax.Array:
     tail = jnp.concatenate([suffix[1:], jnp.zeros((1,), dtype=p.dtype)])
     ok = tail <= cutoff * total
     rank = jnp.where(jnp.any(ok), jnp.argmax(ok) + 1, k)
+    if not _native_complex_linalg() and k >= 8:
+        smax = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
+        noise = jnp.median(s[(3 * k) // 4 :])
+        floor = jnp.where(noise < 1e-3 * smax, 8.0 * noise, 0.0)
+        rank_floor = jnp.sum(s > floor)
+        rank = jnp.minimum(rank, jnp.maximum(rank_floor, 1))
     rank = jnp.clip(rank, mindim, jnp.minimum(maxdim, k))
     return rank.astype(jnp.int32)
 

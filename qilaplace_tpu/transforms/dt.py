@@ -31,7 +31,7 @@ from qilaplace_tpu.core.mpo import PairedSiteMPO, identity_mpo, mpo_repad
 from qilaplace_tpu.ops.apply import compose_layers, embed_window, stack_layers
 from qilaplace_tpu.utils.config import bucket_for
 
-_STATIC_BUILD_DT_MPO = ("n", "wr", "cutoff", "maxdim", "chi", "dtype")
+_STATIC_BUILD_DT_MPO = ("n", "cutoff", "maxdim", "chi", "dtype")
 
 
 @partial(jax.jit, static_argnames=_STATIC_BUILD_DT_MPO)

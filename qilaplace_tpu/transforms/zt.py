@@ -39,7 +39,7 @@ from qilaplace_tpu.utils.config import bucket_for
 
 _STATIC_BUILD_PAIRED_QFT_MPO = ("n", "cutoff", "maxdim", "chi", "dtype")
 _STATIC_BUILD_ZT_MPO = (
-    "n", "wr", "cutoff", "maxdim", "chi", "chi_dt", "chi_qft", "dtype"
+    "n", "cutoff", "maxdim", "chi", "chi_dt", "chi_qft", "dtype"
 )
 
 
