@@ -1,12 +1,10 @@
 """z-transform (discrete Laplace) MPO builder.
 
 Re-design of reference src/transforms/zt_transformer.jl:41-106:
-W_zt = W_qft_paired ∘ W_dt. The reference builds the DT MPO and the paired
-2n-site QFT separately, fuses them once with apply(W_dt, mpo_qft) — DT acts
-first — and runs a final compress sweep (:101-104). Here the DT blocks and
-the paired-QFT blocks are folded in one scanned composition program (DT
-layers first, then QFT layers — the same operator ordering), so the whole
-build is a single compiled scan.
+W_zt = W_qft_paired ∘ W_dt. Like the reference, the DT MPO and the paired
+2n-site QFT are built separately (each as one scanned layer-folding program
+at its own small bond budget) and fused once — apply(W_dt, W_qft), DT acts
+first (:101-103) — by a zip-up composition + polish at the full chi.
 
 Coefficients: chi(k, l) = (1/N) sum_j x_j e^{-(wr*k + 2*pi*i*l) j / N},
 addressed on the output by interleaved LSB-first (k, l) bits
@@ -29,6 +27,7 @@ from qilaplace_tpu.circuits.dt_gates import (
 )
 from qilaplace_tpu.circuits.zt_gates import control_Hphase_ztmps_mpo
 from qilaplace_tpu.core.mpo import PairedSiteMPO, identity_mpo, mpo_repad
+from qilaplace_tpu.transforms.dt import build_dt_mpo
 from qilaplace_tpu.ops.apply import (
     apply_mpo_mpo,
     compose_layers,
@@ -86,41 +85,36 @@ def build_zt_mpo(
     """Build the z-transform MPO at damping ``wr`` (angular axis fixed at
     omega_i = 2*pi by the QFT factor).
 
-    ``chi_dt``/``chi_qft`` are accepted for API compatibility; the scanned
-    single-stack build uses one working bond budget ``chi``.
+    Staged like the reference (src/transforms/zt_transformer.jl:75-104):
+    build the DT factor at its own small bond budget (plateau ~18), the
+    paired QFT at its budget, then fuse once with a zip-up composition at
+    the full ``chi`` and polish. The small-budget stages keep the O(n^2)
+    sweep SVDs tiny; only the single fuse pass works at chi.
     """
     if n < 1:
         raise ValueError(f"build_zt_mpo: n must be >= 1, got {n}")
     if chi is None:
         chi = bucket_for(min(maxdim, 128))  # plateau ~89-92
-    maxdim = min(maxdim, chi)
+    maxdim_out = min(maxdim, chi)
+    if chi_dt is None:
+        chi_dt = bucket_for(min(maxdim, 32))  # DT plateau ~17-18
+    if chi_qft is None:
+        chi_qft = bucket_for(min(maxdim, 32))
 
     if n == 1:
         W_dt = mpo_repad(control_damping_mpo(n, 1, wr, dtype=dtype), 8)
         W_qft = control_Hphase_ztmps_mpo(1, dtype=dtype)
         return mpo_repad(apply_mpo_mpo(W_dt, W_qft), chi)
 
-    layers = (
-        [
-            embed_window(control_damping_mpo(n, k, wr, dtype=dtype), 2 * n, 0)
-            for k in range(1, n + 1)
-        ]
-        + [
-            embed_window(
-                control_damping_copy_mpo(n, k, wr, dtype=dtype),
-                2 * n,
-                2 * (k - 1),
-            )
-            for k in range(1, n)
-        ]
-        + [
-            embed_window(control_Hphase_ztmps_mpo(k, dtype=dtype), 2 * n, 0)
-            for k in range(1, n + 1)
-        ]
+    W_dt = build_dt_mpo(n, wr, cutoff=cutoff, maxdim=maxdim, chi=chi_dt,
+                        dtype=dtype)
+    W_qft = build_paired_qft_mpo(n, cutoff=cutoff, maxdim=maxdim, chi=chi_qft,
+                                 dtype=dtype)
+    return apply_mpo_mpo(
+        W_dt,
+        W_qft,
+        chi_out=chi,
+        zip_maxdim=chi,
+        cutoff=cutoff,
+        maxdim=maxdim_out,
     )
-    layer_cores, layer_ranks = stack_layers(layers)
-    acc = identity_mpo(n, chi=chi, dtype=jnp.dtype(dtype), paired=True)
-    out = compose_layers(
-        acc.chain, layer_cores, layer_ranks, cutoff=cutoff, maxdim=maxdim
-    )
-    return PairedSiteMPO(chain=out)
