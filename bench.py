@@ -52,56 +52,67 @@ def child(n: int) -> None:
     from qilaplace_tpu.core.mps import MPS, ZTMPS, coefficient_batch
     from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO
     from qilaplace_tpu.ops.apply import apply
-    from qilaplace_tpu.utils.bits import paired_config_from_kl
 
     cpu = jax.local_devices(backend="cpu")[0]
     tpu = jax.devices()[0]
     log(f"devices: tpu={tpu}, setup on {cpu}")
 
-    # ---- setup on CPU (native complex LAPACK; crash-proof) ----
+    # ---- setup on CPU (native complex LAPACK; crash-proof). Set the config
+    # default device (not just the context manager) so the complex-linalg
+    # dispatch sees the CPU pin at trace time and uses native LAPACK.
+    jax.config.update("jax_default_device", cpu)
     t0 = time.perf_counter()
-    with jax.default_device(cpu):
-        x = generate_signal(n, kind="sin_decay", freq=2.0, decay_rate=0.5,
-                            dtype=jnp.float32)
-        psi = signal_ztmps(
-            x, method="rsvd", k=50, p=5, q=2, cutoff=1e-9, maxdim=CHI, chi=CHI
-        )
-        mps_bond = int(jnp.max(psi.chain.ranks))
+    x = generate_signal(n, kind="sin_decay", freq=2.0, decay_rate=0.5,
+                        dtype=jnp.float32)
+    psi = signal_ztmps(
+        x, method="rsvd", k=50, p=5, q=2, cutoff=1e-9, maxdim=CHI, chi=CHI
+    )
+    mps_bond = int(jnp.max(psi.chain.ranks))
     log(f"encode (cpu rsvd) {time.perf_counter() - t0:.2f}s, max bond {mps_bond}")
 
     t0 = time.perf_counter()
-    with jax.default_device(cpu):
-        W = build_zt_mpo(n, 2 * np.pi, cutoff=1e-9, maxdim=CHI, chi=CHI,
-                         dtype=np.complex64)
-        mpo_bond = int(jnp.max(W.chain.ranks))
+    W = build_zt_mpo(n, 2 * np.pi, cutoff=1e-9, maxdim=CHI, chi=CHI,
+                     dtype=np.complex64)
+    mpo_bond = int(jnp.max(W.chain.ranks))
     log(f"zT MPO build (cpu) {time.perf_counter() - t0:.2f}s, max bond {mpo_bond}")
+
+    # Materialize numpy copies WHILE the CPU pin is active: the built arrays
+    # are uncommitted jit outputs, and any op on them after the pin is reset
+    # (even .real) would dispatch on the TPU backend, which cannot accept
+    # complex transfers.
+    psi_re = np.asarray(psi.chain.cores.real, np.float32)
+    psi_im = np.asarray(psi.chain.cores.imag, np.float32)
+    psi_ranks = np.asarray(psi.chain.ranks, np.int32)
+    psi_amp = np.float32(psi.chain.amplitude)
+    W_re = np.asarray(W.chain.cores.real, np.float32)
+    W_im = np.asarray(W.chain.cores.imag, np.float32)
+    W_ranks = np.asarray(W.chain.ranks, np.int32)
+    jax.config.update("jax_default_device", None)
 
     # ---- ship to TPU: complex arrays as split real/imag ----
     combine = jax.jit(lambda re, im: (re + 1j * im).astype(jnp.complex64))
 
-    def ship_complex(arr):
-        re = jax.device_put(np.asarray(arr.real, np.float32), tpu)
-        im = jax.device_put(np.asarray(arr.imag, np.float32), tpu)
-        return combine(re, im)
-
-    def ship_int(arr):
-        return jax.device_put(np.asarray(arr, np.int32), tpu)
+    def ship_complex(re, im):
+        return combine(jax.device_put(re, tpu), jax.device_put(im, tpu))
 
     t0 = time.perf_counter()
     psi_t = ZTMPS(chain=MPS(
-        cores=ship_complex(psi.chain.cores),
-        ranks=ship_int(psi.chain.ranks),
-        amplitude=jax.device_put(np.float32(psi.chain.amplitude), tpu),
+        cores=ship_complex(psi_re, psi_im),
+        ranks=jax.device_put(psi_ranks, tpu),
+        amplitude=jax.device_put(psi_amp, tpu),
     ))
     W_t = PairedSiteMPO(chain=MPO(
-        cores=ship_complex(W.chain.cores), ranks=ship_int(W.chain.ranks)
+        cores=ship_complex(W_re, W_im), ranks=jax.device_put(W_ranks, tpu)
     ))
     log(f"shipped to TPU in {time.perf_counter() - t0:.2f}s")
 
     rng = np.random.default_rng(0)
-    ks = jnp.asarray(rng.integers(0, 2**n, size=N_SCAN))
-    ls = jnp.asarray(rng.integers(0, 2**n, size=N_SCAN))
-    configs = ship_int(paired_config_from_kl(ks, ls, n))
+    ks = rng.integers(0, 2**n, size=N_SCAN)
+    ls = rng.integers(0, 2**n, size=N_SCAN)
+    kb = ((ks[:, None] >> np.arange(n)) & 1).astype(np.int32)  # LSB-first
+    lb = ((ls[:, None] >> np.arange(n)) & 1).astype(np.int32)
+    cfg_np = np.stack([kb, lb], axis=2).reshape(N_SCAN, 2 * n)
+    configs = jax.device_put(cfg_np, tpu)
 
     @jax.jit
     def step(W, psi, configs):

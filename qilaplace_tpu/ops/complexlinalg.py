@@ -45,6 +45,11 @@ FORCE_EMBEDDING = False
 def _native_complex_linalg() -> bool:
     if FORCE_EMBEDDING:
         return False
+    # honor an explicit default-device override (e.g. setup phases pinned to
+    # the host CPU while a TPU backend is primary)
+    dev = jax.config.jax_default_device
+    if dev is not None and getattr(dev, "platform", None) == "cpu":
+        return True
     return jax.default_backend() == "cpu"
 
 
