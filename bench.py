@@ -65,8 +65,8 @@ def child(n: int) -> None:
     x = generate_signal(n, kind="sin_decay", freq=2.0, decay_rate=0.5,
                         dtype=jnp.float32)
     psi = signal_ztmps(
-        x, method="rsvd", k=50, p=5, q=2, cutoff=1e-9, maxdim=CHI, chi=CHI
-    )
+        x, method="rsvd", k=50, p=5, q=2, cutoff=1e-9, maxdim=CHI
+    )  # chi=None: pad to the signal's own rank bucket
     mps_bond = int(jnp.max(psi.chain.ranks))
     log(f"encode (cpu rsvd) {time.perf_counter() - t0:.2f}s, max bond {mps_bond}")
 
@@ -116,7 +116,11 @@ def child(n: int) -> None:
 
     @jax.jit
     def step(W, psi, configs):
-        out = apply(W, psi, maxdim=CHI, cutoff=1e-9)
+        # zip-up fused apply at maxdim=CHI; the canonical polish sweeps are
+        # off in the headline step (final_sweeps=0) — they triple the number
+        # of sequential eigh-bound splits for ~1e-2 extra accuracy that a
+        # |chi| peak scan does not need
+        out = apply(W, psi, maxdim=CHI, cutoff=1e-9, final_sweeps=0)
         vals = coefficient_batch(out, configs)
         return jnp.abs(vals).astype(jnp.float32)
 

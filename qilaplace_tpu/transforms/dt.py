@@ -49,6 +49,8 @@ def build_dt_mpo(
         raise ValueError(f"build_dt_mpo: n must be >= 1, got {n}")
     if chi is None:
         chi = bucket_for(min(maxdim, 32))  # plateau ~17-18
+    # no bond of a 2n-site operator chain can exceed 4^n
+    chi = min(chi, bucket_for(4**n))
     maxdim = min(maxdim, chi)
 
     if n == 1:

@@ -47,6 +47,8 @@ def build_qft_mpo(
         raise ValueError(f"build_qft_mpo: n must be >= 1, got {n}")
     if chi is None:
         chi = bucket_for(min(maxdim, 16))  # plateau is 8; headroom for sweeps
+    # no bond of an n-site operator chain can exceed 4^(n//2)
+    chi = min(chi, bucket_for(4 ** (n // 2)))
     maxdim = min(maxdim, chi)
 
     if n == 1:

@@ -55,6 +55,7 @@ def build_paired_qft_mpo(
     register; reference src/transforms/zt_transformer.jl:78-99)."""
     if chi is None:
         chi = bucket_for(min(maxdim, 16))
+    chi = min(chi, bucket_for(4**n))
     maxdim = min(maxdim, chi)
     if n == 1:
         return mpo_repad(control_Hphase_ztmps_mpo(1, dtype=dtype), chi)
@@ -95,11 +96,12 @@ def build_zt_mpo(
         raise ValueError(f"build_zt_mpo: n must be >= 1, got {n}")
     if chi is None:
         chi = bucket_for(min(maxdim, 128))  # plateau ~89-92
+    chi = min(chi, bucket_for(4**n))
     maxdim_out = min(maxdim, chi)
     if chi_dt is None:
-        chi_dt = bucket_for(min(maxdim, 32))  # DT plateau ~17-18
+        chi_dt = min(bucket_for(min(maxdim, 32)), bucket_for(4**n))
     if chi_qft is None:
-        chi_qft = bucket_for(min(maxdim, 32))
+        chi_qft = min(bucket_for(min(maxdim, 32)), bucket_for(4**n))
 
     if n == 1:
         W_dt = mpo_repad(control_damping_mpo(n, 1, wr, dtype=dtype), 8)
