@@ -24,6 +24,8 @@ from qilaplace_tpu.core.mps import (
     MPS,
     SignalMPS,
     ZTMPS,
+    nsite,
+    validate,
     coefficient,
     coefficient_batch,
     mps_to_vector,
@@ -61,6 +63,8 @@ __all__ = [
     "MPS",
     "SignalMPS",
     "ZTMPS",
+    "nsite",
+    "validate",
     "coefficient",
     "coefficient_batch",
     "mps_to_vector",

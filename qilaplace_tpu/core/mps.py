@@ -164,6 +164,43 @@ def bondindices(psi):
     return (list(range(psi.n - 1)), [])
 
 
+def nsite(psi) -> int:
+    """Deprecated alias for ``len(psi)`` (reference src/mps.jl:334)."""
+    import warnings
+
+    warnings.warn("nsite is deprecated; use len(psi)", DeprecationWarning,
+                  stacklevel=2)
+    return len(psi)
+
+
+def validate(psi, *, atol: float = 0.0) -> None:
+    """Structural validation on concrete containers (the analog of the
+    reference's check_mps/check_ztmps, src/mps.jl:188-330, whose wiring
+    invariants are positional here): ranks within bounds, boundary ranks 1,
+    and padding (numerically) zero outside the valid blocks. Raises
+    ValueError on violation. Concrete (non-traced) arrays only."""
+    m = _chain(psi)
+    cores = np.asarray(m.cores)
+    ranks = np.asarray(m.ranks)
+    n, chi = m.n, m.chi
+    if ranks.shape != (n + 1,):
+        raise ValueError(f"validate: ranks must have length n+1={n + 1}")
+    if ranks[0] != 1 or ranks[n] != 1:
+        raise ValueError("validate: boundary ranks must be 1")
+    if (ranks < 1).any() or (ranks > chi).any():
+        raise ValueError("validate: ranks out of [1, chi]")
+    for i in range(n):
+        c = np.abs(cores[i])
+        pad = max(
+            c[ranks[i]:, :, :].max() if ranks[i] < chi else 0.0,
+            c[:, :, ranks[i + 1]:].max() if ranks[i + 1] < chi else 0.0,
+        )
+        if pad > atol:
+            raise ValueError(
+                f"validate: nonzero padding at site {i} (max {pad:.2e})"
+            )
+
+
 # ------------------------------ dense readout ------------------------------
 
 @highest_precision
@@ -203,17 +240,49 @@ def norm(psi) -> jax.Array:
 
 # ------------------------------- coefficient -------------------------------
 
+def _parse_config(psi, config):
+    """Accept every configuration spec of the reference
+    (src/mps.jl:609-685): int array/list/tuple, bit strings like "0101" or
+    "[1,0,1,0]", or a non-negative integer read as big-endian n bits."""
+    n = _chain(psi).n
+    if isinstance(config, str):
+        stripped = config.strip().strip("[](){}")
+        if not stripped:
+            raise ValueError("coefficient: configuration string is empty")
+        if any(c in stripped for c in ", \t"):
+            bits = [int(t) for t in stripped.replace(",", " ").split()]
+        else:
+            if not set(stripped) <= {"0", "1"}:
+                raise ValueError(
+                    "coefficient: bit strings may contain only '0' or '1'"
+                )
+            bits = [int(c) for c in stripped]
+        return jnp.asarray(bits)
+    if isinstance(config, (int, np.integer)):
+        if config < 0:
+            raise ValueError("coefficient: integer configuration must be >= 0")
+        if config >> n:
+            raise ValueError(
+                f"coefficient: integer {config} requires more than {n} bits"
+            )
+        return jnp.asarray([(config >> (n - 1 - i)) & 1 for i in range(n)])
+    if isinstance(config, tuple):
+        config = list(config)
+    return jnp.asarray(config)
+
+
 @highest_precision
 def coefficient(psi, config) -> jax.Array:
     """Amplitude <config|psi> for a zero-based bit configuration.
 
     ``config``: int array of length n (chain length for ZTMPS — use
-    interleaved main/copy bits, reference docs/src/tutorials/zt.jl:59-67).
+    interleaved main/copy bits, reference docs/src/tutorials/zt.jl:59-67),
+    a bit string like "0101", or a big-endian integer.
     A chain of chi x chi matvecs via ``lax.scan``
     (reference src/mps.jl:669-690).
     """
     m = _chain(psi)
-    config = jnp.asarray(config)
+    config = _parse_config(psi, config)
     chi = m.chi
     v0 = jnp.zeros((chi,), dtype=m.dtype).at[0].set(1.0)
 

@@ -191,3 +191,43 @@ def test_jit_and_vmap_compatibility():
     # vmapped container: check one row survives jit through tree flattening
     one = jax.tree_util.tree_map(lambda a: a[0], batch)
     assert np.isclose(float(f(one)), 1.0, atol=1e-10)
+
+
+def test_coefficient_config_spec_types():
+    # reference accepts vectors, tuples, bit strings and big-endian ints
+    # (src/mps.jl:609-693, test/test_signal_converters.jl:146-201)
+    x = np.random.default_rng(10).normal(size=16)
+    psi = signal_mps(x, cutoff=0.0)
+    assert np.isclose(complex(coefficient(psi, [0, 1, 1, 0])), x[6], atol=1e-12)
+    assert np.isclose(complex(coefficient(psi, (0, 1, 1, 0))), x[6], atol=1e-12)
+    assert np.isclose(complex(coefficient(psi, "0110")), x[6], atol=1e-12)
+    assert np.isclose(complex(coefficient(psi, "[0,1,1,0]")), x[6], atol=1e-12)
+    assert np.isclose(complex(coefficient(psi, 6)), x[6], atol=1e-12)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        coefficient(psi, "01a1")
+    with _pytest.raises(ValueError):
+        coefficient(psi, 16)  # needs 5 bits
+
+
+def test_nsite_and_validate():
+    import warnings
+    from qilaplace_tpu import nsite, validate
+
+    x = np.ones(8)
+    psi = signal_mps(x)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert nsite(psi) == 3
+        assert any(issubclass(v.category, DeprecationWarning) for v in w)
+    validate(psi)  # clean padding
+    bad = MPS(
+        cores=psi.cores.at[1, 7, 0, 7].set(1.0),
+        ranks=psi.ranks,
+        amplitude=psi.amplitude,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validate(bad)
