@@ -26,17 +26,24 @@ from qilaplace_tpu.utils.bits import paired_config_from_kl
 TWO_PI = 2.0 * jnp.pi
 
 
-def chi_grid(psi_out: ZTMPS, ks, ls) -> jax.Array:
+def chi_grid(psi_out: ZTMPS, ks, ls, *, use_pallas: bool = False) -> jax.Array:
     """Sample chi on the outer product of index vectors ``ks`` x ``ls``.
 
     Returns a [len(ks), len(ls)] complex grid; one batched device program.
+    ``use_pallas=True`` routes through the fused VMEM-resident Pallas kernel
+    (ops.pallas_kernels) — fastest for very large grids on TPU.
     """
     n = psi_out.n
     ks = jnp.asarray(ks)
     ls = jnp.asarray(ls)
     K, L = jnp.meshgrid(ks, ls, indexing="ij")
     configs = paired_config_from_kl(K.reshape(-1), L.reshape(-1), n)
-    vals = coefficient_batch(psi_out, configs)
+    if use_pallas:
+        from qilaplace_tpu.ops.pallas_kernels import coefficient_batch_pallas
+
+        vals = coefficient_batch_pallas(psi_out, configs)
+    else:
+        vals = coefficient_batch(psi_out, configs)
     return vals.reshape(ks.shape[0], ls.shape[0])
 
 
