@@ -173,7 +173,10 @@ def mpo_from_traced(core_list, chi: int | None = None) -> MPO:
 
 
 def mpo_repad(W, chi_new: int):
-    """Re-pad MPO bonds to a new static bucket (see core.mps.repad)."""
+    """Re-pad MPO bonds to a new static bucket (see core.mps.repad; shrink
+    checks the leading-block precondition on concrete inputs)."""
+    from qilaplace_tpu.core.mps import _check_shrink
+
     m = _mpo_chain(W)
     chi = m.chi
     if chi_new == chi:
@@ -182,6 +185,7 @@ def mpo_repad(W, chi_new: int):
         pad = chi_new - chi
         cores = jnp.pad(m.cores, ((0, 0), (0, pad), (0, 0), (0, 0), (0, pad)))
     else:
+        _check_shrink(m.cores, m.ranks, chi_new, "mpo_repad")
         cores = m.cores[:, :chi_new, :, :, :chi_new]
     ranks = jnp.minimum(m.ranks, chi_new)
     return _mpo_rewrap(W, MPO(cores=cores, ranks=ranks))

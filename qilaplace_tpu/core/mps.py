@@ -496,10 +496,56 @@ def compress(psi, *, maxdim: int | None = None, tol: float = 1e-12, sweeps: int 
 
 # ------------------------------ chi repadding -------------------------------
 
+def _fetchable(x) -> bool:
+    """True when ``x`` can be brought to host for checking: numpy, or a
+    concrete jax array on a CPU device (the tunneled TPU backend cannot
+    transfer complex arrays at all — see CLAUDE.md)."""
+    if isinstance(x, np.ndarray):
+        return True
+    if isinstance(x, jax.core.Tracer):
+        return False
+    if isinstance(x, jax.Array):
+        try:
+            return all(d.platform == "cpu" for d in x.devices())
+        except Exception:
+            return False
+    return False
+
+
+def _check_shrink(cores, ranks, chi_new: int, what: str) -> None:
+    """Concrete-input guard for repad shrinks: the data being sliced away
+    must be zero and ranks must fit. Traced (and non-CPU-resident) inputs
+    skip the check — callers must guarantee the leading-block precondition,
+    e.g. right after a truncating sweep with maxdim <= chi_new."""
+    if _fetchable(ranks):
+        r = np.asarray(ranks)
+        if r.max() > chi_new:
+            raise ValueError(
+                f"{what}: cannot shrink to chi={chi_new}; max rank is {r.max()}"
+            )
+    if not _fetchable(cores):
+        return
+    c = np.asarray(cores)
+    sliced = max(
+        np.abs(c[:, chi_new:]).max(initial=0.0),
+        np.abs(c[..., chi_new:]).max(initial=0.0),
+    )
+    # Sweeps can leave sub-roundoff residue (singular-value junk ~1e-40 times
+    # O(1) factor columns) in the padding; only true data counts.
+    scale = np.abs(c).max(initial=0.0)
+    if sliced > 64 * np.finfo(c.real.dtype).eps * scale:
+        raise ValueError(
+            f"{what}: shrinking to chi={chi_new} would discard nonzero data "
+            f"(max |entry| {sliced:.2e}) — valid data is not in the leading "
+            "block; run a truncating sweep first"
+        )
+
+
 def repad(psi, chi_new: int):
-    """Re-pad all bonds to a new static bucket. Shrinking asserts (at trace
-    time nothing; data beyond chi_new is sliced away — callers must ensure
-    ranks <= chi_new, e.g. after a compress with maxdim=chi_new)."""
+    """Re-pad all bonds to a new static bucket. Shrinking requires the valid
+    data to sit in the leading chi_new block (checked on concrete inputs;
+    traced callers must guarantee it, e.g. right after a compress with
+    maxdim <= chi_new)."""
     m = _chain(psi)
     n, chi = m.n, m.chi
     if chi_new == chi:
@@ -508,6 +554,7 @@ def repad(psi, chi_new: int):
         pad = chi_new - chi
         cores = jnp.pad(m.cores, ((0, 0), (0, pad), (0, 0), (0, pad)))
     else:
+        _check_shrink(m.cores, m.ranks, chi_new, "repad")
         cores = m.cores[:, :chi_new, :, :chi_new]
     ranks = jnp.minimum(m.ranks, chi_new)
     return _rewrap(psi, MPS(cores=cores, ranks=ranks, amplitude=m.amplitude))

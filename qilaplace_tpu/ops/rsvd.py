@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from qilaplace_tpu.ops.complexlinalg import ceigh, csvd
+from qilaplace_tpu.ops.complexlinalg import ceigh, csvd, _native_complex_linalg
 from qilaplace_tpu.ops.truncation import truncation_rank
 from qilaplace_tpu.utils.config import highest_precision
 
@@ -99,7 +99,11 @@ def rsvd(
 
     B = Q.conj().T @ M  # [l, b] small
     Ub, s, Vh = csvd(B)  # l x min(l,b)
-    rank = truncation_rank(s, cutoff, maxdim, mindim)
+    embedded = (
+        jnp.issubdtype(B.dtype, jnp.complexfloating)
+        and not _native_complex_linalg()
+    )
+    rank = truncation_rank(s, cutoff, maxdim, mindim, embedded=embedded)
     kk = s.shape[0]
     keep = jnp.arange(kk) < rank
     s = jnp.where(keep, s, 0.0)

@@ -22,7 +22,7 @@ from qilaplace_tpu.ops.complexlinalg import csvd, _native_complex_linalg
 from qilaplace_tpu.utils.config import highest_precision
 
 
-def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1) -> jax.Array:
+def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1, *, embedded: bool | None = None) -> jax.Array:
     """Number of singular values kept under the relative-squared-cutoff rule.
 
     ``s`` must be non-negative and sorted descending (jnp.linalg.svd output).
@@ -33,8 +33,10 @@ def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1) -> jax.Array:
     whose squared sum can exceed tiny cutoffs and pin ranks at the cap; a
     gap-aware noise haircut removes that tail. It only engages when the
     bottom-quarter median sits well below s_max (flat spectra — e.g.
-    unitary operators — stay untouched), and never on the native path, so
-    CPU parity semantics are exact.
+    unitary operators — stay untouched), and only on the embedding path
+    (``embedded``: pass False when ``s`` came from a native SVD — e.g. real
+    dtypes on any backend — so the cutoff semantics stay exact; None keeps
+    the backend-based default for callers that cannot know the source).
     """
     p = s * s
     k = s.shape[0]
@@ -46,7 +48,9 @@ def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1) -> jax.Array:
     tail = jnp.concatenate([suffix[1:], jnp.zeros((1,), dtype=p.dtype)])
     ok = tail <= cutoff * total
     rank = jnp.where(jnp.any(ok), jnp.argmax(ok) + 1, k)
-    if not _native_complex_linalg() and k >= 8:
+    if embedded is None:
+        embedded = not _native_complex_linalg()
+    if embedded and k >= 8:
         smax = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
         noise = jnp.median(s[(3 * k) // 4 :])
         floor = jnp.where(noise < 1e-3 * smax, 8.0 * noise, 0.0)
@@ -69,7 +73,11 @@ def truncated_svd(M: jax.Array, *, cutoff=0.0, maxdim=None, mindim=1):
     if maxdim is None:
         maxdim = k
     U, s, Vh = csvd(M)
-    rank = truncation_rank(s, cutoff, maxdim, mindim)
+    embedded = (
+        jnp.issubdtype(M.dtype, jnp.complexfloating)
+        and not _native_complex_linalg()
+    )
+    rank = truncation_rank(s, cutoff, maxdim, mindim, embedded=embedded)
     keep = jnp.arange(k) < rank
     s = jnp.where(keep, s, 0.0)
     U = jnp.where(keep[None, :], U, 0.0)

@@ -155,7 +155,11 @@ def signal_mps(
     x, amplitude, n = _prepare(x)
     if n == 0:
         raise ValueError("signal_mps: need at least 2 samples")
+    # Cap ranks by the padding bucket too: a user-specified chi with the
+    # default (unbounded) maxdim must truncate at chi, not crash padding.
     maxdim_eff = min(maxdim, 2 ** (n // 2 + 1))
+    if chi is not None:
+        maxdim_eff = min(maxdim_eff, chi)
     if method == "svd":
         cores, ranks = _tt_svd(x, n, cutoff=cutoff, maxdim=maxdim_eff)
     elif method == "rsvd":
@@ -213,23 +217,34 @@ def signal_ztmps(
     )
     n, chi_s = psi.n, psi.chi
 
+    # The copy-tensor fan-out split's true rank is up to 2x the incoming bond
+    # rank, so the chain must be bucketed wider than the signal MPS: capping
+    # the intra-pair bond at chi_s silently discards O(1) Schmidt weight on
+    # full-rank signals even at tiny cutoffs. An explicit user ``chi`` still
+    # caps everything (that is the user's request).
+    chi_c = chi if chi is not None else bucket_for(min(2 * chi_s, maxdim))
+    maxdim_eff = min(maxdim, 2 * chi_s, chi_c)
+
+    cores_s = psi.cores
+    if chi_c != chi_s:
+        pad = chi_c - chi_s
+        cores_s = jnp.pad(cores_s, ((0, 0), (0, pad), (0, 0), (0, pad)))
+
     # T[l, s_main, s_copy, r] = cores[l, s, r] * delta(s, s_main, s_copy)
     delta = jnp.zeros((2, 2, 2), dtype=psi.dtype)
     delta = delta.at[0, 0, 0].set(1.0).at[1, 1, 1].set(1.0)
-    T = jnp.einsum("nlsr,smc->nlmcr", psi.cores, delta)
-
-    maxdim_eff = min(maxdim, chi_s)
+    T = jnp.einsum("nlsr,smc->nlmcr", cores_s, delta)
 
     def split(Ti):
-        M = Ti.reshape(chi_s * 2, 2 * chi_s)
+        M = Ti.reshape(chi_c * 2, 2 * chi_c)
         L, R, rank = svd_split(
-            M, cutoff=cutoff, maxdim=maxdim_eff, absorb="right", out_dim=chi_s
+            M, cutoff=cutoff, maxdim=maxdim_eff, absorb="right", out_dim=chi_c
         )
-        return L.reshape(chi_s, 2, chi_s), R.reshape(chi_s, 2, chi_s), rank
+        return L.reshape(chi_c, 2, chi_c), R.reshape(chi_c, 2, chi_c), rank
 
     mains, copies, intra = jax.vmap(split)(T)
     chain_cores = jnp.stack([mains, copies], axis=1).reshape(
-        2 * n, chi_s, 2, chi_s
+        2 * n, chi_c, 2, chi_c
     )
     # chain ranks: [1, c_1, b_1, c_2, b_2, ..., c_n, 1]
     chain_ranks = jnp.ones((2 * n + 1,), dtype=jnp.int32)

@@ -51,12 +51,16 @@ def generate_signal(
 
     if kind == "sin":
         phase = kwargs.get("phase", 0.0)
-        phase_arr = np.atleast_1d(np.asarray(phase, dtype=np.float64))
+        phase_arr = (
+            np.zeros_like(freq_arr)
+            if phase is None
+            else np.atleast_1d(np.asarray(phase, dtype=np.float64))
+        )
         if np.isscalar(freq_val) or np.asarray(freq_val).ndim == 0:
             out = jnp.sin(freq_arr[0] * dt * j + float(phase_arr[0]))
         else:
             if phase is None or np.asarray(phase).ndim == 0:
-                phase_arr = np.zeros_like(freq_arr)
+                phase_arr = np.zeros_like(freq_arr) + phase_arr[0]
             if len(phase_arr) != len(freq_arr):
                 raise ValueError("freq and phase vectors must have equal length")
             out = jnp.zeros_like(j)

@@ -231,3 +231,34 @@ def test_nsite_and_validate():
 
     with _pytest.raises(ValueError):
         validate(bad)
+
+
+def test_signal_ztmps_full_rank_oracle_n7():
+    # regression (advisor, round 1): the copy-tensor fan-out split's true
+    # rank is up to 2x the incoming bond rank; with a full-rank signal whose
+    # rank saturates its chi bucket the intra-pair bond must NOT be capped
+    # at the signal bucket (that silently discarded O(1) Schmidt weight).
+    n = 7
+    x = np.random.default_rng(7).normal(size=2**n)
+    psi = signal_ztmps(x, cutoff=1e-14)
+    # diagonal coefficients reproduce the signal exactly
+    vals = np.array(
+        [complex(coefficient(psi, int_to_paired_bits(j, n))) for j in
+         range(0, 2**n, 5)]
+    )
+    assert np.allclose(vals, x[::5], atol=1e-10)
+    # no weight lost anywhere: the chain's total norm equals ||x||
+    total = float(norm(psi.chain)) * float(psi.amplitude)
+    assert np.isclose(total, np.linalg.norm(x), atol=1e-10)
+
+
+def test_signal_mps_chi_below_natural_rank():
+    # regression (advisor, round 1): a user chi below the natural TT rank
+    # must truncate at chi, not crash with a negative-pad error.
+    x = np.random.default_rng(3).normal(size=2**12)
+    psi = signal_mps(x, chi=16)
+    assert psi.chi == 16
+    assert int(jnp.max(psi.ranks)) <= 16
+    v = np.asarray(mps_to_vector(psi))
+    # lossy but sane: captures the bulk of the energy
+    assert np.linalg.norm(v - x) < np.linalg.norm(x)

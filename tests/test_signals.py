@@ -75,3 +75,29 @@ def test_unknown_kind_raises():
 def test_vector_freq_length_mismatch():
     with pytest.raises(ValueError):
         generate_signal(4, kind="sin_decay", freq=[1.0, 2.0], decay_rate=[1.0])
+
+
+def test_sin_phase_none_vector_freq():
+    # regression: phase=None with a frequency vector must mean zero phases
+    # (previously crashed in np.asarray(None) before the default handling)
+    n = 5
+    freqs = [1.0, 2.0]
+    x = np.asarray(
+        generate_signal(n, kind="sin", freq=freqs, phase=None, dtype=np.float64)
+    )
+    dt = 1.0 / (2.0 * 2**n)
+    j = np.arange(2**n)
+    expected = sum(np.sin(w * dt * j) for w in freqs)
+    assert np.allclose(x, expected, atol=1e-12)
+
+
+def test_sin_scalar_phase_vector_freq():
+    n = 5
+    freqs = [1.0, 2.0]
+    x = np.asarray(
+        generate_signal(n, kind="sin", freq=freqs, phase=0.3, dtype=np.float64)
+    )
+    dt = 1.0 / (2.0 * 2**n)
+    j = np.arange(2**n)
+    expected = sum(np.sin(w * dt * j + 0.3) for w in freqs)
+    assert np.allclose(x, expected, atol=1e-12)
