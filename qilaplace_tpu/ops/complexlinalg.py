@@ -1,49 +1,45 @@
 """Complex linear algebra on backends without native complex factorizations.
 
-The TPU backend implements f32 SVD/eigh but not their complex variants
-(probed empirically; complex svd/eigh raise UNIMPLEMENTED). The classical
-workaround embeds a complex matrix M = A + iB as the real matrix
+The tunneled TPU backend implements no complex factorizations at all, and
+its native f32 ``eigh`` (QDWH) only converges extreme eigenpairs on
+structured spectra. Both are replaced by the matmul-only Jacobi eigensolver
+(ops.jacobi — a Pallas kernel on TPU, a ``lax.scan`` reference elsewhere),
+which runs natively on complex data:
 
-    K = [[A, -B],
-         [B,  A]],
+* ``ceigh`` — Hermitian eigendecomposition: LAPACK on CPU, Jacobi on device.
+* ``csvd`` — complete-Gram SVD: with U a COMPLETE orthonormal eigenbasis of
+  the smaller-side Gram matrix, U (U^H M) == M holds for ANY unitary U, so
+  reconstruction is exact regardless of eigenvector accuracy — and the
+  Jacobi V is exactly unitary by construction. Singular values are read off
+  unsquared as factor column norms and sorted explicitly.
+* ``chol_qr`` — orthonormalization via complex Cholesky, computed EXACTLY
+  through the native real Cholesky of the interleaved real embedding: for
+  Hermitian positive-definite G, the real Cholesky factor of
+  iota(G) (iota: each complex entry -> 2x2 block [[re, -im], [im, re]]) is
+  iota(L) of the complex factor L, because iota(L) is lower-triangular with
+  positive diagonal (complex Cholesky diagonals are real positive) and the
+  real factor is unique. The same argument gives complex triangular solves.
 
-the matrix of the C-linear map viewed over R. K commutes with the complex
-structure J = [[0, -I], [I, 0]]; every singular value / eigenvalue of M
-appears in K twice, spectral subspaces of K are J-invariant realifications
-of the complex ones, and any real vector w = (x; y) in such a subspace maps
-to a valid complex vector z = x + iy of the corresponding complex subspace
-(J w maps to i z).
-
-The delicate part is selecting a COMPLEX-independent half basis out of the
-real eigen/singular vectors: inside exactly degenerate clusters the real
-solver may return J-paired vectors (z-images differing only by phase). The
-robust selection used here: take ALL 2k real candidates, remix them with a
-fixed random matrix masked to eigenvalue clusters (the complex Gram between
-different clusters vanishes by J-invariance, so later whitening cannot leak
-between subspaces), and orthonormalize with a scaled Newton-Schulz
-iteration (matmuls only).
-
-The SVD uses a complete Gram eigenbasis of the smaller side: correctness
-(U (U^H M) == M) holds for ANY complete orthonormal basis, so the TPU
-eigh's accuracy limits only truncation optimality, never reconstruction;
-singular values are read off unsquared as factor column norms and sorted
-explicitly.
+This layer is the TPU-native analog of the LAPACK calls behind ITensors'
+``svd``/``qr``/``eigen`` in the reference (src/linalg/rsvd.jl:83-111 and
+every compression sweep).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-from qilaplace_tpu.utils.config import highest_precision
 import numpy as np
 
-# Test hook: force the real-embedding path even on CPU.
-FORCE_EMBEDDING = False
+from qilaplace_tpu.ops.jacobi import jacobi_eigh, jacobi_eigh_pallas
+from qilaplace_tpu.utils.config import highest_precision
+
+# Test hook: force the device (non-LAPACK) path even on CPU.
+FORCE_DEVICE_PATH = False
 
 
 def _native_complex_linalg() -> bool:
-    if FORCE_EMBEDDING:
+    if FORCE_DEVICE_PATH:
         return False
     # honor an explicit default-device override (e.g. setup phases pinned to
     # the host CPU while a TPU backend is primary)
@@ -53,100 +49,46 @@ def _native_complex_linalg() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _embed(M: jax.Array) -> jax.Array:
-    A, B = M.real, M.imag
-    return jnp.block([[A, -B], [B, A]])
-
-
-def _cluster_remix(candidates: jax.Array, vals2: jax.Array, vals_sel: jax.Array,
-                   dtype, tol_scale) -> jax.Array:
-    """Randomly remix 2k complex candidate vectors within value clusters and
-    Newton-Schulz-whiten to an orthonormal [d, k] basis.
-
-    candidates: [d, 2k]; vals2: [2k] values of each candidate; vals_sel: [k]
-    target values per output slot (ordering preserved).
-    """
-    d, two_k = candidates.shape
-    k = vals_sel.shape[0]
-    # Data-driven cluster tolerance: the observed within-pair spread measures
-    # the eigensolver's duplicate noise (clusters have even size, so adjacent
-    # pairing never straddles a true gap). A fixed eps-based tol can fall
-    # BELOW the solver noise, leaving slots with empty masks (=> zero
-    # columns); guard with the measured spread and always include each
-    # slot's own adjacent pair.
-    pair_spread = jnp.max(jnp.abs(vals2[0::2] - vals2[1::2]))
-    tol = jnp.maximum(tol_scale, 16.0 * pair_spread)
-    member = jnp.abs(vals2[:, None] - vals_sel[None, :]) <= tol
-    own = (jnp.arange(two_k)[:, None] // 2) == jnp.arange(k)[None, :]
-    member = member | own
-    kr, ki = jax.random.split(jax.random.PRNGKey(1729))
-    Om = (
-        jax.random.normal(kr, (two_k, k), dtype=vals2.dtype)
-        + 1j * jax.random.normal(ki, (two_k, k), dtype=vals2.dtype)
-    ).astype(dtype)
-    Z = candidates @ (Om * member.astype(dtype))
-    G = Z.conj().T @ Z
-    # spectral-norm upper bound (hermitian): max absolute row sum — tighter
-    # than Frobenius, so Newton-Schulz recovers small directions faster
-    bound = jnp.max(jnp.sum(jnp.abs(G), axis=1)) + jnp.finfo(vals2.dtype).tiny
-    Z = Z / jnp.sqrt(bound).astype(dtype)
-    eye = jnp.eye(k, dtype=dtype)
-    for _ in range(25):
-        G = Z.conj().T @ Z
-        Z = Z @ (1.5 * eye - 0.5 * G)
-    return Z
+def _device_eigh(H: jax.Array):
+    """Jacobi eigh on the device path: Pallas kernel on real accelerators,
+    the lax.scan reference under CPU emulation/tests."""
+    m = H.shape[-1]
+    if (
+        jax.default_backend() != "cpu"
+        and m % 2 == 0
+        and m <= 512
+        and H.real.dtype == jnp.float32
+    ):
+        return jacobi_eigh_pallas(H)
+    return jacobi_eigh(H)
 
 
 @highest_precision
 def ceigh(H: jax.Array):
     """Hermitian eigendecomposition, ascending eigenvalues.
 
-    Returns ``(lam [n] real, V [n, n])`` with H V = V diag(lam).
+    Returns ``(lam [..., n] real, V [..., n, n])`` with H V = V diag(lam).
     """
-    if not jnp.issubdtype(H.dtype, jnp.complexfloating) or _native_complex_linalg():
+    if _native_complex_linalg():
         return jnp.linalg.eigh(H)
-    n = H.shape[0]
-    lam2, W = jnp.linalg.eigh(_embed(H))  # ascending; clusters have even size
-    lam = 0.5 * (lam2[0::2] + lam2[1::2])
-    Z_all = (W[:n, :] + 1j * W[n:, :]).astype(H.dtype)  # co-isometry * sqrt2
-    eps = jnp.finfo(lam2.dtype).eps
-    scale = jnp.maximum(jnp.max(jnp.abs(lam2)), jnp.finfo(lam2.dtype).tiny)
-    V = _cluster_remix(Z_all, lam2, lam, H.dtype, 64.0 * eps * scale)
-    return lam, V
+    return _device_eigh(H)
 
 
 @highest_precision
 def csvd(M: jax.Array):
     """Reduced SVD ``M = U diag(s) Vh`` with descending s.
 
-    Native on CPU / for real dtypes; complete-Gram-basis route elsewhere
-    (see module docstring). Factor rows/columns whose singular value sits
-    below the noise floor are zeroed — they carry negligible weight.
+    Native on CPU; complete-Gram-basis route elsewhere (see module
+    docstring). Factor rows/columns whose singular value sits below the
+    working-precision noise floor are zeroed — they carry negligible weight.
     """
-    if not jnp.issubdtype(M.dtype, jnp.complexfloating) or _native_complex_linalg():
+    if _native_complex_linalg():
         return jnp.linalg.svd(M, full_matrices=False)
     a, b = M.shape
-
-    # Complete-Gram-basis route. With U a COMPLETE orthonormal basis of the
-    # smaller side, U (U^H M) == M holds exactly no matter how accurate the
-    # eigenvectors are — eigen quality only affects how diagonal the split
-    # is (truncation optimality), never correctness. This matters because
-    # the TPU f32 eigh leaves O(1) interior residuals on structured spectra;
-    # a Rayleigh-Ritz re-diagonalization pass (nearly-diagonal input, which
-    # the Jacobi solver handles sharply) restores diagonality, and singular
-    # values are read off unsquared as column norms and explicitly sorted.
-    def _basis(G):
-        G = 0.5 * (G + G.conj().T)
-        _, Q = ceigh(G)
-        T = Q.conj().T @ (G @ Q)
-        T = 0.5 * (T + T.conj().T)
-        _, Q2 = ceigh(T)
-        return Q @ Q2
-
     eps = jnp.finfo(M.real.dtype).eps
     if a <= b:
-        U = _basis(M @ M.conj().T)  # [a, a] complete
-        B = U.conj().T @ M  # rows are s_j v_j^H; U @ B == M exactly
+        _, U = _device_eigh(M @ jnp.conj(M.T))  # [a, a] complete basis
+        B = jnp.conj(U.T) @ M  # rows are s_j v_j^H; U @ B == M exactly
         s = jnp.linalg.norm(B, axis=1)
         order = jnp.argsort(-s)
         U = U[:, order]
@@ -157,7 +99,7 @@ def csvd(M: jax.Array):
         inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
         Vh = B * inv[:, None].astype(M.dtype)
         return U, s, Vh
-    V = _basis(M.conj().T @ M)  # [b, b] complete
+    _, V = _device_eigh(jnp.conj(M.T) @ M)  # [b, b] complete basis
     B = M @ V  # columns are s_j u_j; B @ V^H == M exactly
     s = jnp.linalg.norm(B, axis=0)
     order = jnp.argsort(-s)
@@ -169,3 +111,115 @@ def csvd(M: jax.Array):
     inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
     U = B * inv[None, :].astype(M.dtype)
     return U, s, V.conj().T
+
+
+# ------------------- interleaved-embedding Cholesky QR -----------------------
+
+def _interleave(G: jax.Array) -> jax.Array:
+    """iota(G): [m, m] complex -> [2m, 2m] real with 2x2 blocks
+    [[re, -im], [im, re]] per entry."""
+    m = G.shape[-1]
+    Gr, Gi = jnp.real(G), jnp.imag(G)
+    T = jnp.stack(
+        [jnp.stack([Gr, -Gi], axis=-1), jnp.stack([Gi, Gr], axis=-1)],
+        axis=-3,
+    )  # [..., m, 2, m, 2] with T[i, a, j, b] = block(a, b) at (i, j)
+    return T.reshape(*G.shape[:-2], 2 * m, 2 * m)
+
+
+def _deinterleave(K: jax.Array, dtype) -> jax.Array:
+    """Extract the complex matrix from an iota-structured real [2m, 2m]."""
+    return (K[..., 0::2, 0::2] + 1j * K[..., 1::2, 0::2]).astype(dtype)
+
+
+def cchol(G: jax.Array) -> jax.Array:
+    """Complex Cholesky factor L (lower, real positive diagonal) of a
+    Hermitian positive-definite G, via the native REAL Cholesky of the
+    interleaved embedding (exact by uniqueness — see module docstring)."""
+    if not jnp.issubdtype(G.dtype, jnp.complexfloating):
+        return jnp.linalg.cholesky(G)
+    if _native_complex_linalg():
+        return jnp.linalg.cholesky(G)
+    K = jnp.linalg.cholesky(_interleave(G))
+    return _deinterleave(K, G.dtype)
+
+
+def ctri_inv(L: jax.Array) -> jax.Array:
+    """Inverse of a (complex) lower-triangular matrix via the native real
+    triangular solve on the interleaved embedding."""
+    if (
+        not jnp.issubdtype(L.dtype, jnp.complexfloating)
+        or _native_complex_linalg()
+    ):
+        eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+        return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    K = _interleave(L)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    Z = jax.scipy.linalg.solve_triangular(K, eye, lower=True)
+    return _deinterleave(Z, L.dtype)
+
+
+@highest_precision
+def chol_qr(Y: jax.Array, *, passes: int = 2, shift: float | None = None):
+    """Orthonormalize the columns of Y [a, l] by (shifted) CholeskyQR.
+
+    Near rank deficiency is regularized by a diagonal shift scaled to the
+    FULL Gram trace (an upper bound on lambda_max — Cholesky's elimination
+    error scales with lambda_max, so a mean-diagonal shift breaks down on
+    concentrated spectra), plus an absolute floor so an exactly-zero Y maps
+    to Q == 0 instead of the NaN Cholesky of the zero matrix. A second pass
+    restores orthonormality of the well-conditioned block (CholeskyQR2).
+
+    CONTRACT: Y must have numerically full column rank. On rank-deficient Y
+    the whitening amplifies noise directions (finite, but far from
+    orthonormal) — use :func:`gram_orthonormalize` there; every sketch/zip
+    path does.
+    """
+    l = Y.shape[-1]
+    if shift is None:
+        shift = 16.0 * l * float(jnp.finfo(Y.real.dtype).eps)
+    floor = float(np.finfo(np.dtype(Y.real.dtype.name)).tiny) * 1e6
+    Q = Y
+    for _ in range(passes):
+        G = jnp.conj(Q.T) @ Q
+        tr = jnp.trace(G).real  # >= lambda_max
+        G = G + jnp.maximum(shift * tr, floor).astype(G.dtype) * jnp.eye(
+            l, dtype=G.dtype
+        )
+        L = cchol(G)
+        W = ctri_inv(L)
+        Q = Q @ jnp.conj(W.T)
+    return Q
+
+
+@highest_precision
+def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None):
+    """Orthonormal basis of range(Y) via the Gram eigendecomposition,
+    padding- and rank-deficiency-safe.
+
+    Returns ``(Q, rank)`` with Q [a, l]; columns at index >= rank are
+    EXACTLY zero. The eigenbasis comes from :func:`ceigh` (LAPACK on CPU,
+    the exactly-unitary Jacobi solver on device), so whitening the valid
+    block is stable and null directions are masked outright instead of
+    being amplified — the failure mode of (shifted) CholeskyQR on the
+    rank-deficient matrices every zip-up/sketch step produces. A second
+    pass restores orthonormality to working precision (the single-pass Gram
+    route inherits the Gram matrix's squared conditioning).
+    """
+    a, l = Y.shape
+    if eps is None:
+        eps = float(jnp.finfo(Y.real.dtype).eps)
+    tol = eps * l
+    Q, rank = Y, jnp.int32(l)
+    for _ in range(2):
+        G = Q.conj().T @ Q
+        lam, V = ceigh(G)  # ascending
+        lam = jnp.maximum(lam.real[::-1], 0.0)
+        V = V[:, ::-1]
+        lam_max = jnp.maximum(lam[0], jnp.finfo(lam.dtype).tiny)
+        keep = lam > tol * lam_max
+        rank = jnp.sum(keep).astype(jnp.int32)
+        inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, lam, 1.0)), 0.0)
+        Q = Q @ (V * inv_sqrt[None, :].astype(V.dtype))
+        Q = jnp.where(keep[None, :], Q, 0.0)
+    return Q, rank

@@ -19,35 +19,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from qilaplace_tpu.ops.complexlinalg import ceigh, csvd, _native_complex_linalg
+from qilaplace_tpu.ops.complexlinalg import csvd, gram_orthonormalize  # noqa: F401 (re-export)
 from qilaplace_tpu.ops.truncation import truncation_rank
 from qilaplace_tpu.utils.config import highest_precision
-
-
-@highest_precision
-def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None):
-    """Orthonormal basis of range(Y) via the Gram matrix, padding-safe.
-
-    Returns ``(Q, rank)`` with Q [a, l]; columns at index >= rank are zero.
-    """
-    a, l = Y.shape
-    G = Y.conj().T @ Y
-    lam, V = ceigh(G)  # ascending
-    lam = lam[::-1]
-    V = V[:, ::-1]
-    lam = jnp.maximum(lam.real, 0.0)
-    if eps is None:
-        eps = float(jnp.finfo(Y.real.dtype).eps)
-    # eigh perturbs eigenvalues by O(eps * lam_max); anything below that is
-    # numerically zero (this is the Gram method's sqrt(eps) rank floor).
-    tol = eps * l
-    lam_max = jnp.maximum(lam[0], jnp.finfo(lam.dtype).tiny)
-    keep = lam > tol * lam_max
-    rank = jnp.sum(keep).astype(jnp.int32)
-    inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, lam, 1.0)), 0.0)
-    Q = Y @ (V * inv_sqrt[None, :].astype(V.dtype))
-    Q = jnp.where(keep[None, :], Q, 0.0)
-    return Q, rank
 
 
 @highest_precision
@@ -99,11 +73,7 @@ def rsvd(
 
     B = Q.conj().T @ M  # [l, b] small
     Ub, s, Vh = csvd(B)  # l x min(l,b)
-    embedded = (
-        jnp.issubdtype(B.dtype, jnp.complexfloating)
-        and not _native_complex_linalg()
-    )
-    rank = truncation_rank(s, cutoff, maxdim, mindim, embedded=embedded)
+    rank = truncation_rank(s, cutoff, maxdim, mindim)
     kk = s.shape[0]
     keep = jnp.arange(kk) < rank
     s = jnp.where(keep, s, 0.0)

@@ -11,6 +11,15 @@ Cutoff semantics mirror ITensors' relative squared-singular-value rule used
 throughout the reference (e.g. src/signals/SignalConverters.jl:84,
 src/mps.jl:929): discard the smallest singular values whose total squared
 weight does not exceed ``cutoff`` times the total squared weight.
+
+Routing (``truncated_svd``): LAPACK on CPU; on device, a complete-Gram
+factorization through the Jacobi eigensolver when the small side is small,
+and a randomized range-finder sketch (GEMM + CholeskyQR2 + power iteration,
+then the complete-Gram step on the [l, b] projection) when the small side is
+much larger than ``maxdim`` — the MXU-shaped path that keeps every
+compression sweep on the TPU. Under sketching the cutoff rule still counts
+the mass OUTSIDE the captured subspace: the total squared weight is taken
+from ||M||_F^2, not from the sketch.
 """
 
 from __future__ import annotations
@@ -18,25 +27,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from qilaplace_tpu.ops.complexlinalg import csvd, _native_complex_linalg
+from qilaplace_tpu.ops.complexlinalg import (
+    _device_eigh,
+    _native_complex_linalg,
+    csvd,
+    gram_orthonormalize,
+)
 from qilaplace_tpu.utils.config import highest_precision
 
 
-def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1, *, embedded: bool | None = None) -> jax.Array:
+def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1, *, total=None) -> jax.Array:
     """Number of singular values kept under the relative-squared-cutoff rule.
 
-    ``s`` must be non-negative and sorted descending (jnp.linalg.svd output).
-    Returns a traced int32 in [mindim, min(maxdim, len(s))].
-
-    On the real-embedding backend path (no native complex SVD), basis
-    rotation leaves a flat tail of junk singular values around 1e-4 * s_max
-    whose squared sum can exceed tiny cutoffs and pin ranks at the cap; a
-    gap-aware noise haircut removes that tail. It only engages when the
-    bottom-quarter median sits well below s_max (flat spectra — e.g.
-    unitary operators — stay untouched), and only on the embedding path
-    (``embedded``: pass False when ``s`` came from a native SVD — e.g. real
-    dtypes on any backend — so the cutoff semantics stay exact; None keeps
-    the backend-based default for callers that cannot know the source).
+    ``s`` must be non-negative and sorted descending. ``total`` overrides the
+    total squared weight (pass ||M||_F^2 when ``s`` only spans a captured
+    subspace, so uncaptured mass counts as discarded). Returns a traced int32
+    in [mindim, min(maxdim, len(s))].
     """
     p = s * s
     k = s.shape[0]
@@ -44,41 +50,116 @@ def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1, *, embedded: bool | 
     # keeping i+1 values). Computing total - cumsum instead leaves O(eps)
     # rounding residue that defeats tiny cutoffs under XLA fusion.
     suffix = jnp.cumsum(p[::-1])[::-1]
-    total = suffix[0]
+    captured = suffix[0]
+    if total is None:
+        total = captured
+    else:
+        total = jnp.maximum(total, captured)
+    missing = total - captured
     tail = jnp.concatenate([suffix[1:], jnp.zeros((1,), dtype=p.dtype)])
-    ok = tail <= cutoff * total
+    ok = (tail + missing) <= cutoff * total
     rank = jnp.where(jnp.any(ok), jnp.argmax(ok) + 1, k)
-    if embedded is None:
-        embedded = not _native_complex_linalg()
-    if embedded and k >= 8:
-        smax = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
-        noise = jnp.median(s[(3 * k) // 4 :])
-        floor = jnp.where(noise < 1e-3 * smax, 8.0 * noise, 0.0)
-        rank_floor = jnp.sum(s > floor)
-        rank = jnp.minimum(rank, jnp.maximum(rank_floor, 1))
     rank = jnp.clip(rank, mindim, jnp.minimum(maxdim, k))
     return rank.astype(jnp.int32)
 
 
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def _gram_svd(M: jax.Array):
+    """Complete-Gram SVD on the device path (same construction as
+    complexlinalg.csvd but via _device_eigh unconditionally)."""
+    a, b = M.shape
+    eps = jnp.finfo(M.real.dtype).eps
+    if a <= b:
+        _, U = _device_eigh(M @ jnp.conj(M.T))
+        B = jnp.conj(U.T) @ M
+        s = jnp.linalg.norm(B, axis=1)
+        order = jnp.argsort(-s)
+        U, B, s = U[:, order], B[order], s[order]
+        smax = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
+        keep = s > 4.0 * eps * smax
+        inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+        return U, s, B * inv[:, None].astype(M.dtype)
+    _, V = _device_eigh(jnp.conj(M.T) @ M)
+    B = M @ V
+    s = jnp.linalg.norm(B, axis=0)
+    order = jnp.argsort(-s)
+    V, B, s = V[:, order], B[:, order], s[order]
+    smax = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
+    keep = s > 4.0 * eps * smax
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+    return B * inv[None, :].astype(M.dtype), s, jnp.conj(V.T)
+
+
+def _sketched_svd(M: jax.Array, l: int, power_iters: int):
+    """Randomized top-l factorization: returns (U [a, l], s [l], Vh [l, b]).
+
+    Range finder + Gram orthonormalization + power iteration, then the
+    complete-Gram step on the small projection (reference
+    src/linalg/rsvd.jl:62-118, re-shaped for the MXU). Orthonormalization is
+    the eigh-based Gram whitening (padding-safe, exact zero columns beyond
+    the numerical rank) — the zip-up matrices this sees are chronically
+    rank-deficient, where shifted CholeskyQR breaks down."""
+    a, b = M.shape
+    transpose = a > b
+    if transpose:
+        M = jnp.conj(M.T)
+        a, b = b, a
+    # deterministic sketch (the reference reseeds 1234 per call, rsvd.jl:74)
+    key = jax.random.PRNGKey(1234)
+    rdtype = M.real.dtype
+    if jnp.issubdtype(M.dtype, jnp.complexfloating):
+        kr, ki = jax.random.split(key)
+        Om = (
+            jax.random.normal(kr, (b, l), dtype=rdtype)
+            + 1j * jax.random.normal(ki, (b, l), dtype=rdtype)
+        ).astype(M.dtype)
+    else:
+        Om = jax.random.normal(key, (b, l), dtype=M.dtype)
+    Q, _ = gram_orthonormalize(M @ Om)
+    for _ in range(power_iters):
+        Q, _ = gram_orthonormalize(jnp.conj(M.T) @ Q)
+        Q, _ = gram_orthonormalize(M @ Q)
+    B = jnp.conj(Q.T) @ M  # [l, b]
+    Ub, s, Vh = _gram_svd(B)
+    U = Q @ Ub
+    if transpose:
+        return jnp.conj(Vh.T), s, jnp.conj(U.T)
+    return U, s, Vh
+
+
 @highest_precision
-def truncated_svd(M: jax.Array, *, cutoff=0.0, maxdim=None, mindim=1):
+def truncated_svd(M: jax.Array, *, cutoff=0.0, maxdim=None, mindim=1,
+                  power_iters: int = 1):
     """SVD with mask-based truncation.
 
     Returns ``(U, s, Vh, rank)`` with U ``[a, k]``, s ``[k]``, Vh ``[k, b]``
-    (k = min(a, b)); columns/rows at index >= rank are zeroed so downstream
+    for some static k <= min(a, b) (k < min(a, b) on the sketched device
+    route); columns/rows at index >= rank are zeroed so downstream
     contractions of the padded factors stay exact.
     """
     a, b = M.shape
     k = min(a, b)
     if maxdim is None:
         maxdim = k
-    U, s, Vh = csvd(M)
-    embedded = (
-        jnp.issubdtype(M.dtype, jnp.complexfloating)
-        and not _native_complex_linalg()
-    )
-    rank = truncation_rank(s, cutoff, maxdim, mindim, embedded=embedded)
-    keep = jnp.arange(k) < rank
+    maxdim = min(maxdim, k)
+
+    if _native_complex_linalg():
+        U, s, Vh = csvd(M)
+        rank = truncation_rank(s, cutoff, maxdim, mindim)
+    else:
+        l = min(k, _round8(maxdim + min(32, max(8, maxdim // 4))))
+        if k <= max(64, (5 * l) // 4):
+            U, s, Vh = _gram_svd(M)
+            rank = truncation_rank(s, cutoff, maxdim, mindim)
+        else:
+            U, s, Vh = _sketched_svd(M, l, power_iters)
+            total = jnp.sum(jnp.abs(M) ** 2).astype(s.dtype)
+            rank = truncation_rank(s, cutoff, maxdim, mindim, total=total)
+    kk = s.shape[0]
+    keep = jnp.arange(kk) < rank
     s = jnp.where(keep, s, 0.0)
     U = jnp.where(keep[None, :], U, 0.0)
     Vh = jnp.where(keep[:, None], Vh, 0.0)
@@ -104,9 +185,8 @@ def svd_split(
     Returns ``(L, R, rank)``.
     """
     a, b = M.shape
-    k = min(a, b)
     if out_dim is None:
-        out_dim = k
+        out_dim = min(a, b)
     if maxdim is None:
         maxdim = out_dim
     maxdim = min(maxdim, out_dim)
@@ -120,11 +200,12 @@ def svd_split(
         L, R = U * sq[None, :], sq[:, None] * Vh
     else:
         raise ValueError("absorb must be 'left', 'right' or 'both'")
-    if out_dim <= k:
+    kk = s.shape[0]
+    if out_dim <= kk:
         L, R = L[:, :out_dim], R[:out_dim, :]
     else:
-        L = jnp.pad(L, ((0, 0), (0, out_dim - k)))
-        R = jnp.pad(R, ((0, out_dim - k), (0, 0)))
+        L = jnp.pad(L, ((0, 0), (0, out_dim - kk)))
+        R = jnp.pad(R, ((0, out_dim - kk), (0, 0)))
     return L, R, rank
 
 

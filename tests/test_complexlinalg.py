@@ -1,6 +1,7 @@
-"""Real-embedding complex linalg (the TPU fallback for missing complex
-SVD/eigh), forced on and validated against LAPACK on CPU — including
-degenerate spectra, the hard case for the embedding's pair selection."""
+"""Device-path complex linalg (the TPU fallback for missing complex
+SVD/eigh — Jacobi eigensolver + complete-Gram SVD + interleaved-embedding
+CholeskyQR), forced on and validated against LAPACK on CPU — including
+degenerate spectra, the hard case for cluster resolution."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -11,9 +12,9 @@ import qilaplace_tpu.ops.complexlinalg as cl
 
 @pytest.fixture
 def forced_embedding():
-    cl.FORCE_EMBEDDING = True
+    cl.FORCE_DEVICE_PATH = True
     yield
-    cl.FORCE_EMBEDDING = False
+    cl.FORCE_DEVICE_PATH = False
 
 
 def _rand_hermitian(n, seed=0):
@@ -82,6 +83,37 @@ def test_csvd_zero_padded(forced_embedding):
     U, s, Vh = cl.csvd(jnp.asarray(M))
     rec = np.asarray(U) @ np.diag(np.asarray(s)) @ np.asarray(Vh)
     assert np.allclose(rec, M, atol=1e-8)
+
+
+def test_chol_qr_full_rank_and_zero(forced_embedding):
+    # full-column-rank Y: orthonormal to working precision
+    rng = np.random.default_rng(8)
+    Y = jnp.asarray(rng.normal(size=(64, 12)) + 1j * rng.normal(size=(64, 12)))
+    Q = np.asarray(cl.chol_qr(Y))
+    assert np.allclose(Q.conj().T @ Q, np.eye(12), atol=1e-12)
+    # regression: Cholesky of the zero Gram is NaN without the absolute floor
+    Q = np.asarray(cl.chol_qr(jnp.zeros((32, 8), dtype=jnp.complex128)))
+    assert np.all(np.isfinite(Q))
+    # rank-deficient input is OUT OF CONTRACT for chol_qr (it amplifies noise
+    # directions); the sketch/zip paths use gram_orthonormalize instead, and
+    # must stay finite here regardless
+    u = rng.normal(size=(64, 1)) + 1j * rng.normal(size=(64, 1))
+    v = rng.normal(size=(1, 12)) + 1j * rng.normal(size=(1, 12))
+    Q = np.asarray(cl.chol_qr(jnp.asarray(1e6 * u @ v)))
+    assert np.all(np.isfinite(Q))
+
+
+def test_gram_orthonormalize_rank_deficient(forced_embedding):
+    rng = np.random.default_rng(9)
+    Y = jnp.asarray(
+        (rng.normal(size=(96, 2)) + 1j * rng.normal(size=(96, 2)))
+        @ (rng.normal(size=(2, 24)) + 1j * rng.normal(size=(2, 24)))
+    )
+    Q, rank = cl.gram_orthonormalize(Y)
+    Q = np.asarray(Q)
+    assert int(rank) == 2
+    assert np.allclose(Q[:, 2:], 0.0)  # exact zero padding
+    assert np.allclose(Q[:, :2].conj().T @ Q[:, :2], np.eye(2), atol=1e-10)
 
 
 def test_end_to_end_transforms_with_embedding(forced_embedding):

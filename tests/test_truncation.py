@@ -106,3 +106,45 @@ def test_rsvd_power_iterations_improve():
         U, s, Vh, _ = rsvd(M, jax.random.PRNGKey(5), k=8, p=2, q=q, cutoff=0.0)
         errs.append(np.linalg.norm(np.asarray(U @ jnp.diag(s) @ Vh) - np.asarray(M)))
     assert errs[1] <= errs[0] + 1e-12
+
+
+def test_sketched_split_no_norm_leak_rank_deficient():
+    # regression: the zip-up sweep feeds chronically rank-deficient wide
+    # matrices to the sketched device route; the left factor must stay
+    # orthonormal (norm leak compounded exponentially across the chain)
+    import qilaplace_tpu.ops.complexlinalg as cl
+
+    M = _padded_lowrank(128, 1024, 128, 1024, rank=2, seed=11)
+    cl.FORCE_DEVICE_PATH = True
+    try:
+        L, R, rank = svd_split(
+            M, cutoff=0.0, maxdim=32, absorb="right", out_dim=32
+        )
+    finally:
+        cl.FORCE_DEVICE_PATH = False
+    L, R = np.asarray(L), np.asarray(R)
+    assert np.all(np.isfinite(L)) and np.all(np.isfinite(R))
+    # valid L columns orthonormal; no column exceeds unit norm
+    assert np.max(np.linalg.norm(L, axis=0)) < 1.0 + 1e-8
+    # the product reconstructs M (rank 2 fits easily in maxdim 32)
+    err = np.linalg.norm(L @ R - np.asarray(M)) / np.linalg.norm(np.asarray(M))
+    assert err < 1e-8
+
+
+def test_device_dt_build_matches_native():
+    # the full fused MPO build must agree between the native (LAPACK) and
+    # device (Jacobi/Gram/sketch) linalg routes
+    import qilaplace_tpu.ops.complexlinalg as cl
+    from qilaplace_tpu.transforms.dt import build_dt_mpo
+    from qilaplace_tpu.core.mpo import mpo_to_dense
+
+    n, wr = 3, 0.75
+    Wn = np.asarray(mpo_to_dense(build_dt_mpo(n, wr, cutoff=1e-14)))
+    cl.FORCE_DEVICE_PATH = True
+    try:
+        jax.clear_caches()
+        Wd = np.asarray(mpo_to_dense(build_dt_mpo(n, wr, cutoff=1e-14)))
+    finally:
+        cl.FORCE_DEVICE_PATH = False
+        jax.clear_caches()
+    assert np.max(np.abs(Wn - Wd)) < 1e-9
