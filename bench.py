@@ -1,22 +1,31 @@
-"""Headline benchmark: zT apply (fused, chi=128) + 4096-point pole scan.
+"""Headline benchmark: zT END-TO-END (encode + MPO build + fused apply +
+4096-point pole scan) at n=30, chi=128 on the TPU.
 
-Driver target (BASELINE.json): n=30, chi=128 zT apply + 4096-point pole scan
-< 1 s on one TPU chip. Closest published reference number: zT end-to-end
-(signal_ztmps + apply) at m=60 (n=30) = 20.036 s on an M2 Max
-(reference docs/src/benchmarking.md:307; BASELINE.md row 12). vs_baseline
-reports the speedup 20.036 / value.
+Baseline: the reference's zT end-to-end (signal_ztmps + apply) at m=60
+(n=30) = 20.036 s on an M2 Max (reference docs/src/benchmarking.md:307;
+BASELINE.md row 12 — the reference number does NOT even include the MPO
+build, which this bench does include). vs_baseline = 20.036 / value.
+Timings are medians of warm runs, matching the reference's
+BenchmarkTools-means-after-warmup protocol (docs/src/benchmarking.md:10-16).
 
-The timed region is the jitted TPU program: fused MPO-MPS apply at
-maxdim=128 plus a 4096-configuration coefficient scan returning |chi| (the
-tunneled TPU backend cannot transfer complex or fetch complex arrays, so
-complex data is shipped as split real/imag and all fetches are f32).
+Two setup modes, tried in order:
 
-One-time setup (signal, rsvd encode, zT MPO build) runs on the host CPU
-backend with native LAPACK — the MPO is a cacheable artifact, and the
-tunneled backend has crashed repeatedly under the large build compiles.
+* "tpu": every stage runs on the TPU device — signal generation, the rsvd
+  encode, the zT MPO build (device Jacobi linalg, ops/jacobi.py), the fused
+  apply and the Pallas readout. One compile-warmup pass precedes timing.
+* "cpu" (fallback): encode + build on host LAPACK, ship split re/im, TPU
+  apply + scan — the round-1 configuration, used when the tunneled backend
+  cannot survive the TPU-mode compiles.
 
-Robustness: each attempt runs in a subprocess (a crashed TPU worker wedges
-the whole jax process); the parent prints exactly ONE JSON line to stdout.
+Accuracy: the scanned coefficients are compared against the closed-form
+chi(k, l) of the sin_decay input (signals/oracles.py — O(1) per point, so it
+works at n=30 where a dense reference is 2^30 terms);
+``max_err_rel_peak`` = max |got - oracle| / max |oracle| over the 4096
+sampled points.
+
+Robustness: each (n, mode) attempt runs in a subprocess (a crashed TPU
+worker wedges the whole jax process); the parent prints exactly ONE JSON
+line to stdout.
 """
 
 from __future__ import annotations
@@ -30,13 +39,62 @@ import time
 BASELINE_S = 20.036
 CHI = 128
 N_SCAN = 4096
+WR = 2 * 3.141592653589793
+FREQ, DECAY = 2.0, 0.5
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def child(n: int) -> None:
+def scan_samples(n):
+    """4096 (k, l) scan points: half structured in the near-peak region
+    (small damping index k, angular index l near the spectral line — where
+    |chi| is within a few decades of the peak and the accuracy comparison
+    is meaningful), half uniform over the full grid (pole-scan workload
+    parity; there the oracle values sit below any finite truncation floor
+    and only the timing matters)."""
+    import numpy as np
+
+    N = 2**n
+    rng = np.random.default_rng(0)
+    h = N_SCAN // 2
+    ks = np.concatenate(
+        [rng.integers(0, min(256, N), h), rng.integers(0, N, h)]
+    )
+    ls = np.concatenate(
+        [rng.integers(0, min(8192, N), h) % N, rng.integers(0, N, h)]
+    )
+    kb = ((ks[:, None] >> np.arange(n)) & 1).astype(np.int32)  # LSB-first
+    lb = ((ls[:, None] >> np.arange(n)) & 1).astype(np.int32)
+    cfg = np.stack([kb, lb], axis=2).reshape(N_SCAN, 2 * n)
+    return ks, ls, cfg
+
+
+def accuracy(n, got_re, got_im, ks, ls):
+    """max |got - oracle| / peak |oracle| over the structured half of the
+    scan (the random half sits below the truncation floor by construction
+    — comparing there measures the cutoff, not the pipeline)."""
+    import numpy as np
+
+    from qilaplace_tpu.signals.oracles import (
+        sin_decay_norm,
+        sin_decay_zt_oracle,
+    )
+
+    h = N_SCAN // 2
+    want = sin_decay_zt_oracle(n, ks[:h], ls[:h], wr=WR, freq=FREQ,
+                               decay_rate=DECAY)
+    got = (
+        np.asarray(got_re[:h], np.float64)
+        + 1j * np.asarray(got_im[:h], np.float64)
+    )
+    got = got / sin_decay_norm(n, freq=FREQ, decay_rate=DECAY)
+    peak = np.abs(want).max()
+    return float(np.abs(got - want).max() / peak), float(peak)
+
+
+def child(n: int, mode: str) -> None:
     import jax
 
     jax.config.update(
@@ -49,103 +107,158 @@ def child(n: int) -> None:
     import jax.numpy as jnp
 
     from qilaplace_tpu import build_zt_mpo, generate_signal, signal_ztmps
-    from qilaplace_tpu.core.mps import MPS, ZTMPS, coefficient_batch
+    from qilaplace_tpu.core.mps import MPS, ZTMPS
     from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO
     from qilaplace_tpu.ops.apply import apply
+    from qilaplace_tpu.ops.pallas_kernels import coefficient_batch_pallas
 
     cpu = jax.local_devices(backend="cpu")[0]
     tpu = jax.devices()[0]
-    log(f"devices: tpu={tpu}, setup on {cpu}")
+    log(f"devices: tpu={tpu}, mode={mode}")
 
-    # ---- setup on CPU (native complex LAPACK; crash-proof). Set the config
-    # default device (not just the context manager) so the complex-linalg
-    # dispatch sees the CPU pin at trace time and uses native LAPACK.
-    jax.config.update("jax_default_device", cpu)
-    t0 = time.perf_counter()
-    x = generate_signal(n, kind="sin_decay", freq=2.0, decay_rate=0.5,
-                        dtype=jnp.float32)
-    psi = signal_ztmps(
-        x, method="rsvd", k=50, p=5, q=2, cutoff=1e-9, maxdim=CHI
-    )  # chi=None: pad to the signal's own rank bucket
-    mps_bond = int(jnp.max(psi.chain.ranks))
-    log(f"encode (cpu rsvd) {time.perf_counter() - t0:.2f}s, max bond {mps_bond}")
-
-    t0 = time.perf_counter()
-    W = build_zt_mpo(n, 2 * np.pi, cutoff=1e-9, maxdim=CHI, chi=CHI,
-                     dtype=np.complex64)
-    mpo_bond = int(jnp.max(W.chain.ranks))
-    log(f"zT MPO build (cpu) {time.perf_counter() - t0:.2f}s, max bond {mpo_bond}")
-
-    # Materialize numpy copies WHILE the CPU pin is active: the built arrays
-    # are uncommitted jit outputs, and any op on them after the pin is reset
-    # (even .real) would dispatch on the TPU backend, which cannot accept
-    # complex transfers.
-    psi_re = np.asarray(psi.chain.cores.real, np.float32)
-    psi_im = np.asarray(psi.chain.cores.imag, np.float32)
-    psi_ranks = np.asarray(psi.chain.ranks, np.int32)
-    psi_amp = np.float32(psi.chain.amplitude)
-    W_re = np.asarray(W.chain.cores.real, np.float32)
-    W_im = np.asarray(W.chain.cores.imag, np.float32)
-    W_ranks = np.asarray(W.chain.ranks, np.int32)
-    jax.config.update("jax_default_device", None)
-
-    # ---- ship to TPU: complex arrays as split real/imag ----
-    combine = jax.jit(lambda re, im: (re + 1j * im).astype(jnp.complex64))
-
-    def ship_complex(re, im):
-        return combine(jax.device_put(re, tpu), jax.device_put(im, tpu))
-
-    t0 = time.perf_counter()
-    psi_t = ZTMPS(chain=MPS(
-        cores=ship_complex(psi_re, psi_im),
-        ranks=jax.device_put(psi_ranks, tpu),
-        amplitude=jax.device_put(psi_amp, tpu),
-    ))
-    W_t = PairedSiteMPO(chain=MPO(
-        cores=ship_complex(W_re, W_im), ranks=jax.device_put(W_ranks, tpu)
-    ))
-    log(f"shipped to TPU in {time.perf_counter() - t0:.2f}s")
-
-    rng = np.random.default_rng(0)
-    ks = rng.integers(0, 2**n, size=N_SCAN)
-    ls = rng.integers(0, 2**n, size=N_SCAN)
-    kb = ((ks[:, None] >> np.arange(n)) & 1).astype(np.int32)  # LSB-first
-    lb = ((ls[:, None] >> np.arange(n)) & 1).astype(np.int32)
-    cfg_np = np.stack([kb, lb], axis=2).reshape(N_SCAN, 2 * n)
+    ks, ls, cfg_np = scan_samples(n)
     configs = jax.device_put(cfg_np, tpu)
 
     @jax.jit
     def step(W, psi, configs):
-        # zip-up fused apply at maxdim=CHI; the canonical polish sweeps are
-        # off in the headline step (final_sweeps=0) — they triple the number
-        # of sequential eigh-bound splits for ~1e-2 extra accuracy that a
-        # |chi| peak scan does not need
         out = apply(W, psi, maxdim=CHI, cutoff=1e-9, final_sweeps=0)
-        vals = coefficient_batch(out, configs)
-        return jnp.abs(vals).astype(jnp.float32)
+        vals = coefficient_batch_pallas(out, configs)
+        return jnp.real(vals), jnp.imag(vals)  # complex is not fetchable
 
-    t0 = time.perf_counter()
-    first = np.asarray(step(W_t, psi_t, configs))
-    log(
-        f"compile+first run {time.perf_counter() - t0:.2f}s, "
-        f"|chi| peak {first.max():.3e}"
-    )
-
-    times = []
-    for _ in range(3):
+    def encode_build():
+        x = generate_signal(n, kind="sin_decay", freq=FREQ, decay_rate=DECAY,
+                            dtype=jnp.float32)
         t0 = time.perf_counter()
-        np.asarray(step(W_t, psi_t, configs))
-        times.append(time.perf_counter() - t0)
-    log(f"runs: {['%.4f' % t for t in times]}")
-    t = float(np.median(times))
+        psi = signal_ztmps(x, method="rsvd", k=50, p=5, q=2, cutoff=1e-9,
+                           maxdim=CHI)
+        jax.block_until_ready(psi.chain.cores)
+        t_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        W = build_zt_mpo(n, WR, cutoff=1e-9, maxdim=CHI, chi=CHI,
+                         dtype=np.complex64, chi_work=CHI)
+        jax.block_until_ready(W.chain.cores)
+        t_build = time.perf_counter() - t0
+        return psi, W, t_enc, t_build
+
+    if mode == "tpu":
+        # warmup pass compiles every stage on the device
+        t0 = time.perf_counter()
+        psi, W, t_enc, t_build = encode_build()
+        log(f"warmup encode {t_enc:.2f}s build {t_build:.2f}s")
+        re, im = step(W, psi, configs)
+        np.asarray(re)
+        log(f"warmup total (incl. compiles) {time.perf_counter() - t0:.2f}s")
+
+        times, parts = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            psi, W, t_enc, t_build = encode_build()
+            re, im = step(W, psi, configs)
+            re_h, im_h = np.asarray(re), np.asarray(im)
+            times.append(time.perf_counter() - t0)
+            parts.append((t_enc, t_build))
+        t_enc, t_build = parts[int(np.argsort(times)[len(times) // 2])]
+        t_apply = float(np.median(times)) - t_enc - t_build
+        setup_device = "tpu"
+    else:
+        # CPU setup: native LAPACK, pinned default device so the complex
+        # linalg dispatch sees it at trace time. Same warm-run protocol as
+        # tpu mode (the reference numbers exclude Julia compiles too);
+        # shipping the split-complex stacks counts in the timed run.
+        def encode_build_cpu():
+            jax.config.update("jax_default_device", cpu)
+            x = generate_signal(n, kind="sin_decay", freq=FREQ,
+                                decay_rate=DECAY, dtype=jnp.float32)
+            t0 = time.perf_counter()
+            psi = signal_ztmps(x, method="rsvd", k=50, p=5, q=2, cutoff=1e-9,
+                               maxdim=CHI)
+            jax.block_until_ready(psi.chain.cores)
+            t_enc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            W = build_zt_mpo(n, WR, cutoff=1e-9, maxdim=CHI, chi=CHI,
+                             dtype=np.complex64, chi_work=CHI)
+            jax.block_until_ready(W.chain.cores)
+            t_build = time.perf_counter() - t0
+            # materialize numpy WHILE the CPU pin is active (complex ops on
+            # uncommitted arrays would otherwise dispatch on the TPU)
+            host = (
+                np.asarray(psi.chain.cores.real, np.float32),
+                np.asarray(psi.chain.cores.imag, np.float32),
+                np.asarray(psi.chain.ranks, np.int32),
+                np.float32(psi.chain.amplitude),
+                np.asarray(W.chain.cores.real, np.float32),
+                np.asarray(W.chain.cores.imag, np.float32),
+                np.asarray(W.chain.ranks, np.int32),
+            )
+            jax.config.update("jax_default_device", None)
+            return host, t_enc, t_build
+
+        combine = jax.jit(lambda re, im: (re + 1j * im).astype(jnp.complex64))
+
+        def ship(host):
+            p_re, p_im, p_ranks, p_amp, w_re, w_im, w_ranks = host
+            psi = ZTMPS(chain=MPS(
+                cores=combine(jax.device_put(p_re, tpu),
+                              jax.device_put(p_im, tpu)),
+                ranks=jax.device_put(p_ranks, tpu),
+                amplitude=jax.device_put(p_amp, tpu),
+            ))
+            W = PairedSiteMPO(chain=MPO(
+                cores=combine(jax.device_put(w_re, tpu),
+                              jax.device_put(w_im, tpu)),
+                ranks=jax.device_put(w_ranks, tpu),
+            ))
+            jax.block_until_ready(W.chain.cores)
+            return psi, W
+
+        t0 = time.perf_counter()
+        host, t_enc, t_build = encode_build_cpu()
+        psi, W = ship(host)
+        re, im = step(W, psi, configs)
+        np.asarray(re)
+        log(f"warmup total (incl. compiles) {time.perf_counter() - t0:.2f}s "
+            f"(encode {t_enc:.2f} build {t_build:.2f})")
+
+        times, parts = [], []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            host, t_enc, t_build = encode_build_cpu()
+            t1 = time.perf_counter()
+            psi, W = ship(host)
+            t_ship = time.perf_counter() - t1
+            t1 = time.perf_counter()
+            re, im = step(W, psi, configs)
+            re_h, im_h = np.asarray(re), np.asarray(im)
+            t_app = time.perf_counter() - t1
+            times.append(time.perf_counter() - t0)
+            parts.append((t_enc + t_ship, t_build, t_app))
+        best = int(np.argsort(times)[len(times) // 2])
+        t_enc, t_build, t_apply = parts[best]
+        setup_device = "cpu"
+
+    t_total = t_enc + t_build + t_apply
+    err, peak = accuracy(n, re_h, im_h, ks, ls)
+    mpo_bond = int(np.asarray(W.chain.ranks).max())
+    log(
+        f"end_to_end {t_total:.3f}s = encode {t_enc:.2f} + build "
+        f"{t_build:.2f} + apply+scan {t_apply:.3f}; |chi| peak {peak:.3e}, "
+        f"max_err_rel_peak {err:.3e}, mpo bond {mpo_bond}"
+    )
     print(
         json.dumps(
             {
-                "metric": "zt_apply_scan4096_chi128_wall_s",
-                "value": round(t, 6),
+                "metric": "zt_end_to_end_chi128_wall_s",
+                "value": round(t_total, 6),
                 "unit": "s",
-                "vs_baseline": round(BASELINE_S / t, 2),
+                "vs_baseline": round(BASELINE_S / t_total, 2),
                 "n": n,
+                "encode_s": round(t_enc, 4),
+                "build_s": round(t_build, 4),
+                "apply_scan_s": round(t_apply, 6),
+                "max_err_rel_peak": round(err, 8),
+                "mpo_bond": mpo_bond,
+                "setup_device": setup_device,
+                "readout": "pallas",
             }
         ),
         flush=True,
@@ -154,17 +267,19 @@ def child(n: int) -> None:
 
 def main():
     sizes = (int(os.environ.get("BENCH_N", "30")), 26, 22, 16)
+    modes = os.environ.get("BENCH_MODES", "tpu,cpu").split(",")
     for n in sizes:
-        for attempt in range(2):
-            log(f"=== bench attempt n={n} #{attempt}")
+        for mode in modes:
+            log(f"=== bench attempt n={n} mode={mode}")
             try:
                 proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+                    [sys.executable, os.path.abspath(__file__), "--child",
+                     str(n), mode],
                     capture_output=True,
                     text=True,
-                    timeout=3600,
+                    timeout=4500,
                 )
-                sys.stderr.write(proc.stderr)
+                sys.stderr.write(proc.stderr[-8000:])
                 for line in proc.stdout.splitlines():
                     line = line.strip()
                     if line.startswith("{"):
@@ -178,7 +293,7 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]))
+    if len(sys.argv) >= 4 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), sys.argv[3])
     else:
         main()

@@ -173,16 +173,31 @@ def nsite(psi) -> int:
     return len(psi)
 
 
-def validate(psi, *, atol: float = 0.0) -> None:
-    """Structural validation on concrete containers (the analog of the
-    reference's check_mps/check_ztmps, src/mps.jl:188-330, whose wiring
-    invariants are positional here): ranks within bounds, boundary ranks 1,
-    and padding (numerically) zero outside the valid blocks. Raises
-    ValueError on violation. Concrete (non-traced) arrays only."""
-    m = _chain(psi)
+def validate(obj, *, atol: float = 0.0) -> None:
+    """Structural validation on concrete containers — the analog of the
+    reference's check_mps/check_ztmps/check_singlesitempo/check_pairedsitempo
+    (src/mps.jl:188-330, src/mpo.jl:150-372), whose Index-wiring invariants
+    are positional here. Accepts MPS, ZTMPS, MPO and PairedSiteMPO. Checks:
+    ranks within [1, chi], boundary ranks 1, padding (numerically) zero
+    outside the valid blocks, paired chains even-length (the main/copy
+    disjointness and alternating bond wiring of mpo.jl:251-366 hold by
+    construction of the interleaved layout). Raises ValueError on violation.
+    Concrete (non-traced) arrays only."""
+    from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO, _mpo_chain
+
+    if isinstance(obj, (MPO, PairedSiteMPO)):
+        m = _mpo_chain(obj)
+        paired = isinstance(obj, PairedSiteMPO)
+    else:
+        m = _chain(obj)
+        paired = isinstance(obj, ZTMPS)
     cores = np.asarray(m.cores)
     ranks = np.asarray(m.ranks)
     n, chi = m.n, m.chi
+    if paired and n % 2 != 0:
+        raise ValueError(
+            "validate: paired-register chains must have an even number of sites"
+        )
     if ranks.shape != (n + 1,):
         raise ValueError(f"validate: ranks must have length n+1={n + 1}")
     if ranks[0] != 1 or ranks[n] != 1:
@@ -192,8 +207,8 @@ def validate(psi, *, atol: float = 0.0) -> None:
     for i in range(n):
         c = np.abs(cores[i])
         pad = max(
-            c[ranks[i]:, :, :].max() if ranks[i] < chi else 0.0,
-            c[:, :, ranks[i + 1]:].max() if ranks[i + 1] < chi else 0.0,
+            c[ranks[i]:].max() if ranks[i] < chi else 0.0,
+            c[..., ranks[i + 1]:].max() if ranks[i + 1] < chi else 0.0,
         )
         if pad > atol:
             raise ValueError(

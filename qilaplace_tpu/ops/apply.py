@@ -58,33 +58,47 @@ def _apply_fused(
     cutoff: float,
     chi_out: int | None = None,
     final_sweeps: int = 1,
+    chi_work: int | None = None,
 ) -> MPS:
     """Zip-up apply: contract site, truncate, carry the remainder.
 
     The carry ``C[x, a, b]`` connects the already-truncated left part (bond x,
-    size chi_out) to the not-yet-contracted W bond (a) and psi bond (b). The
+    size chi_work) to the not-yet-contracted W bond (a) and psi bond (b). The
     full product bond only ever exists locally.
+
+    ``chi_work`` (default ``chi_out``) is the static bucket of the zip and
+    polish stages; the zip-up truncates against a non-orthonormal right
+    environment, so a zip capped at ``chi_out`` loses weight non-canonically
+    (~1e-8 relative at chi 128 on the flagship pipeline) that the polish
+    cannot recover. Working at ``2 * chi_out`` restores exact-apply accuracy
+    (measured 7e-12 at n=8) for ~2x the zip FLOPs; the default keeps the
+    fast path for magnitude scans. The final forward polish sweep leaves
+    ranks <= maxdim <= chi_out in the leading block, so the closing slice
+    is exact.
     """
     n, chiW, chiS = psi.n, W.chi, psi.chi
     if W.n != n:
         raise ValueError("apply: MPO and MPS must have the same number of sites")
     if chi_out is None:
         chi_out = min(maxdim, chiW * chiS)
+    if chi_work is None:
+        chi_work = chi_out
+    chi_work = min(max(chi_work, chi_out), chiW * chiS)
     maxdim = min(maxdim, chi_out)
     dtype = jnp.result_type(W.dtype, psi.dtype)
 
-    C0 = jnp.zeros((chi_out, chiW, chiS), dtype=dtype).at[0, 0, 0].set(1.0)
+    C0 = jnp.zeros((chi_work, chiW, chiS), dtype=dtype).at[0, 0, 0].set(1.0)
 
     def step(carry, inp):
         C, _ = carry
         Wcore, Acore = inp
         T = jnp.einsum("xab,aoic,bid->xocd", C, Wcore, Acore)
-        M = T.reshape(chi_out * 2, chiW * chiS)
+        M = T.reshape(chi_work * 2, chiW * chiS)
         L, R, rank = svd_split(
-            M, cutoff=cutoff, maxdim=maxdim, absorb="right", out_dim=chi_out
+            M, cutoff=cutoff, maxdim=chi_work, absorb="right", out_dim=chi_work
         )
-        core = L.reshape(chi_out, 2, chi_out)
-        return (R.reshape(chi_out, chiW, chiS), rank), (core, rank)
+        core = L.reshape(chi_work, 2, chi_work)
+        return (R.reshape(chi_work, chiW, chiS), rank), (core, rank)
 
     (Cf, _), (cores, bond_ranks) = jax.lax.scan(
         step,
@@ -98,7 +112,7 @@ def _apply_fused(
         W.cores[n - 1].astype(dtype),
         psi.cores[n - 1].astype(dtype),
     )[:, :, 0, 0]
-    last = jnp.pad(last[:, :, None], ((0, 0), (0, 0), (0, chi_out - 1)))
+    last = jnp.pad(last[:, :, None], ((0, 0), (0, 0), (0, chi_work - 1)))
     cores = jnp.concatenate([cores, last[None]], axis=0)
     ranks = (
         jnp.ones((n + 1,), dtype=jnp.int32)
@@ -106,16 +120,19 @@ def _apply_fused(
         .set(bond_ranks)
     )
 
-    out = MPS(cores=cores, ranks=ranks, amplitude=psi.amplitude)
-    for _ in range(final_sweeps):
-        c2, r2 = _two_site_sweep(
-            out.cores, out.ranks, cutoff=cutoff, maxdim=maxdim, reverse=True
+    # a wider zip must be swept down before the closing slice
+    sweeps = final_sweeps if chi_work == chi_out else max(final_sweeps, 1)
+    cores2, ranks2 = cores, ranks
+    for _ in range(sweeps):
+        cores2, ranks2 = _two_site_sweep(
+            cores2, ranks2, cutoff=cutoff, maxdim=maxdim, reverse=True
         )
-        c2, r2 = _two_site_sweep(
-            c2, r2, cutoff=cutoff, maxdim=maxdim, reverse=False
+        cores2, ranks2 = _two_site_sweep(
+            cores2, ranks2, cutoff=cutoff, maxdim=maxdim, reverse=False
         )
-        out = MPS(cores=c2, ranks=r2, amplitude=out.amplitude)
-    return out
+    if chi_work > chi_out:
+        cores2 = cores2[:, :chi_out, :, :chi_out]
+    return MPS(cores=cores2, ranks=ranks2, amplitude=psi.amplitude)
 
 
 @highest_precision
@@ -127,11 +144,14 @@ def apply(
     cutoff: float | None = None,
     chi_out: int | None = None,
     final_sweeps: int = 1,
+    chi_work: int | None = None,
 ):
     """Apply an MPO to an MPS (or ZTMPS with a PairedSiteMPO).
 
     Without ``maxdim``/``cutoff``: exact, untruncated (reference semantics).
-    With them: fused contract-then-truncate sweep (TPU performance path).
+    With them: fused contract-then-truncate sweep (TPU performance path);
+    ``chi_work`` > ``chi_out`` trades ~2x zip FLOPs for exact-apply-level
+    accuracy (see :func:`_apply_fused`).
     """
     Wm = _mpo_chain(W)
     pm = _chain(psi)
@@ -149,6 +169,7 @@ def apply(
             cutoff=0.0 if cutoff is None else cutoff,
             chi_out=chi_out,
             final_sweeps=final_sweeps,
+            chi_work=chi_work,
         )
     return _rewrap(psi, res)
 
@@ -162,6 +183,7 @@ def _compose_fused(
     cutoff: float,
     maxdim: int,
     final_sweeps: int = 1,
+    chi_work: int | None = None,
 ) -> MPO:
     """Zip-up composition B ∘ A with mask-truncation.
 
@@ -173,24 +195,38 @@ def _compose_fused(
     equivalent of the reference's zip-up/zip-down and two-pass
     zip_to_compress (src/transforms/qft_transformer.jl:13-101,
     src/transforms/dt_transformer.jl:167-288).
+
+    ``chi_work`` is the static bucket the zip and polish run at (default
+    ``2 * chi_out``, capped by the product bond). The zip-up's right
+    environment is NOT orthonormal, so any rank it discards is thrown away
+    non-canonically; working wider than the final bucket keeps the zip exact
+    whenever the true product rank fits in ``chi_work`` — the polish then
+    reaches the reference's canonical minimal ranks instead of carrying zip
+    noise above the cutoff (this is what pinned the zT build at the chi cap
+    instead of the ~90 plateau of reference docs/src/benchmarking.md:216-219).
+    The final forward polish sweep caps ranks at ``maxdim <= chi_out`` and
+    leaves valid data in the leading block, so the closing slice is exact.
     """
     n, chiA, chiB = A.n, A.chi, B.chi
     dtype = jnp.result_type(A.dtype, B.dtype)
-    zip_maxdim = min(zip_maxdim, chi_out)
+    if chi_work is None:
+        chi_work = min(2 * chi_out, chiA * chiB)
+    chi_work = max(chi_work, chi_out)
+    zip_maxdim = min(zip_maxdim, chi_work)
     maxdim = min(maxdim, chi_out)
 
-    C0 = jnp.zeros((chi_out, chiB, chiA), dtype=dtype).at[0, 0, 0].set(1.0)
+    C0 = jnp.zeros((chi_work, chiB, chiA), dtype=dtype).at[0, 0, 0].set(1.0)
 
     def step(carry, inp):
         C, _ = carry
         Bcore, Acore = inp
         T = jnp.einsum("xba,botc,atid->xoicd", C, Bcore, Acore)
-        M = T.reshape(chi_out * 4, chiB * chiA)
+        M = T.reshape(chi_work * 4, chiB * chiA)
         L, R, rank = svd_split(
-            M, cutoff=0.0, maxdim=zip_maxdim, absorb="right", out_dim=chi_out
+            M, cutoff=0.0, maxdim=zip_maxdim, absorb="right", out_dim=chi_work
         )
-        return (R.reshape(chi_out, chiB, chiA), rank), (
-            L.reshape(chi_out, 4, chi_out),
+        return (R.reshape(chi_work, chiB, chiA), rank), (
+            L.reshape(chi_work, 4, chi_work),
             rank,
         )
 
@@ -204,8 +240,8 @@ def _compose_fused(
         Cf,
         B.cores[n - 1].astype(dtype),
         A.cores[n - 1].astype(dtype),
-    )[:, :, :, 0, 0].reshape(chi_out, 4)
-    last = jnp.pad(last[:, :, None], ((0, 0), (0, 0), (0, chi_out - 1)))
+    )[:, :, :, 0, 0].reshape(chi_work, 4)
+    last = jnp.pad(last[:, :, None], ((0, 0), (0, 0), (0, chi_work - 1)))
     cores4 = jnp.concatenate([cores4, last[None]], axis=0)
     ranks = jnp.ones((n + 1,), dtype=jnp.int32).at[1:n].set(bond_ranks)
 
@@ -216,6 +252,10 @@ def _compose_fused(
         cores4, ranks = _two_site_sweep(
             cores4, ranks, cutoff=cutoff, maxdim=maxdim, reverse=False
         )
+    if chi_work > chi_out:
+        # exact: the final forward sweep left ranks <= maxdim <= chi_out with
+        # valid data in the leading block
+        cores4 = cores4[:, :chi_out, :, :chi_out]
     return MPO(cores=cores4.reshape(n, chi_out, 2, 2, chi_out), ranks=ranks)
 
 
@@ -228,6 +268,7 @@ def compose_layers(
     cutoff: float,
     maxdim: int,
     final_sweeps: int = 1,
+    chi_work: int | None = None,
 ) -> MPO:
     """Fold a stack of layer MPOs into ``acc``: result = layer_L ∘ ... ∘
     layer_1 ∘ acc, via one ``lax.scan`` whose body is the fused zip-up
@@ -242,6 +283,9 @@ def compose_layers(
     layer_cores: [L, n, cl, 2, 2, cl]; layer_ranks: [L, n+1].
     """
     chi = acc.chi
+    chi_layer = layer_cores.shape[2]
+    if chi_work is None:
+        chi_work = min(2 * chi, chi * chi_layer)
 
     def body(carry, layer):
         cores, ranks = carry
@@ -250,10 +294,11 @@ def compose_layers(
             MPO(cores=cores, ranks=ranks),
             MPO(cores=lc, ranks=lr),
             chi_out=chi,
-            zip_maxdim=chi,
+            zip_maxdim=chi_work,
             cutoff=cutoff,
             maxdim=maxdim,
             final_sweeps=final_sweeps,
+            chi_work=chi_work,
         )
         return (out.cores, out.ranks), None
 
@@ -282,25 +327,45 @@ def apply_mpo_mpo(
     chi_out: int | None = None,
     zip_maxdim: int | None = None,
     final_sweeps: int = 1,
+    chi_work: int | None = None,
+    offset: int | None = None,
 ):
-    """Compose two equal-length MPOs: result = W2 after W1 (W1 acts first).
+    """Compose two MPOs: result = W2 after W1 (W1 acts first).
 
     Dense equivalence: mpo_to_dense(result) == mpo_to_dense(W2) @
-    mpo_to_dense(W1). For window composition, embed the shorter MPO first
-    (see :func:`embed_window`).
+    mpo_to_dense(W1).
 
-    Without truncation kwargs the composition is exact with product bonds
-    (reference src/linalg/apply.jl:124-199); with them it runs the fused
-    zip-up + polish path.
+    Partial-window composition (reference src/linalg/apply.jl:124-199: the
+    shorter MPO acts on a contiguous site window of the longer one, identity
+    outside): pass ``offset`` = the 0-based site position of the shorter
+    MPO's first site within the longer chain (in register sites for paired
+    MPOs — the reference locates the window by matching Index objects, which
+    positional axes replace). The shorter MPO is embedded with identities
+    and the chains composed as equal-length ones.
+
+    Without truncation kwargs the composition is exact with product bonds;
+    with them it runs the fused zip-up + polish path.
     """
     paired = isinstance(W1, PairedSiteMPO)
     if paired != isinstance(W2, PairedSiteMPO):
         raise TypeError("apply_mpo_mpo: both operands must have the same register type")
     A, B = _mpo_chain(W1), _mpo_chain(W2)
     if A.n != B.n:
+        if offset is None:
+            raise ValueError(
+                "apply_mpo_mpo: lengths differ — pass offset=<site position "
+                "of the shorter MPO's window within the longer chain> "
+                f"(got {A.n} and {B.n} chain sites)"
+            )
+        step = 2 if paired else 1
+        n_long = max(A.n, B.n)  # chain sites
+        if A.n < B.n:
+            A = _mpo_chain(embed_window(W1, n_long, step * offset))
+        else:
+            B = _mpo_chain(embed_window(W2, n_long, step * offset))
+    elif offset not in (None, 0):
         raise ValueError(
-            "apply_mpo_mpo: lengths differ — embed the window MPO first "
-            f"(got {A.n} and {B.n})"
+            "apply_mpo_mpo: offset is only meaningful for unequal lengths"
         )
     if maxdim is None and cutoff is None and chi_out is None:
         out = jnp.einsum("nbotc,natid->nbaoicd", B.cores, A.cores)
@@ -311,14 +376,17 @@ def apply_mpo_mpo(
     else:
         if chi_out is None:
             chi_out = min(maxdim or A.chi * B.chi, A.chi * B.chi)
+        if chi_work is None:
+            chi_work = min(2 * chi_out, A.chi * B.chi)
         res = _compose_fused(
             A,
             B,
             chi_out=chi_out,
-            zip_maxdim=zip_maxdim if zip_maxdim is not None else chi_out,
+            zip_maxdim=zip_maxdim if zip_maxdim is not None else chi_work,
             cutoff=0.0 if cutoff is None else cutoff,
             maxdim=maxdim if maxdim is not None else chi_out,
             final_sweeps=final_sweeps,
+            chi_work=chi_work,
         )
     return PairedSiteMPO(chain=res) if paired else res
 

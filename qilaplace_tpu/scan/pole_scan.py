@@ -26,18 +26,31 @@ from qilaplace_tpu.utils.bits import paired_config_from_kl
 TWO_PI = 2.0 * jnp.pi
 
 
-def chi_grid(psi_out: ZTMPS, ks, ls, *, use_pallas: bool = False) -> jax.Array:
+def _pallas_readout_ok(psi_out) -> bool:
+    """True when the fused Pallas readout kernel applies: a real TPU backend
+    and a core stack that fits VMEM (split real/imag f32)."""
+    chain = psi_out.chain
+    vmem_bytes = chain.n * chain.chi * 2 * chain.chi * 4 * 2
+    return jax.default_backend() == "tpu" and vmem_bytes <= 32 * 2**20
+
+
+def chi_grid(psi_out: ZTMPS, ks, ls, *, use_pallas: bool | None = None) -> jax.Array:
     """Sample chi on the outer product of index vectors ``ks`` x ``ls``.
 
     Returns a [len(ks), len(ls)] complex grid; one batched device program.
-    ``use_pallas=True`` routes through the fused VMEM-resident Pallas kernel
-    (ops.pallas_kernels) — fastest for very large grids on TPU.
+    ``use_pallas=None`` (default) routes through the fused VMEM-resident
+    Pallas kernel (ops.pallas_kernels) automatically on TPU whenever the
+    core stack fits VMEM — it compiles in ~1 s where the XLA scan path takes
+    ~50 s and runs the readout chain without HBM round-trips per site.
+    Pass False to force the scan path (e.g. for c128 accuracy studies).
     """
     n = psi_out.n
     ks = jnp.asarray(ks)
     ls = jnp.asarray(ls)
     K, L = jnp.meshgrid(ks, ls, indexing="ij")
     configs = paired_config_from_kl(K.reshape(-1), L.reshape(-1), n)
+    if use_pallas is None:
+        use_pallas = _pallas_readout_ok(psi_out)
     if use_pallas:
         from qilaplace_tpu.ops.pallas_kernels import coefficient_batch_pallas
 

@@ -29,7 +29,7 @@ from qilaplace_tpu.core.mpo import MPO, identity_mpo, mpo_repad
 from qilaplace_tpu.ops.apply import compose_layers, embed_window, stack_layers
 from qilaplace_tpu.utils.config import bucket_for
 
-_STATIC_BUILD_QFT_MPO = ("n", "cutoff", "maxdim", "chi", "dtype")
+_STATIC_BUILD_QFT_MPO = ("n", "cutoff", "maxdim", "chi", "dtype", "chi_work")
 
 
 @partial(jax.jit, static_argnames=_STATIC_BUILD_QFT_MPO)
@@ -40,6 +40,7 @@ def build_qft_mpo(
     maxdim: int = 1000,
     chi: int | None = None,
     dtype=np.complex128,
+    chi_work: int | None = None,
 ) -> MPO:
     """Build the n-site QFT MPO (bit-reversed DFT with the -2*pi*i phase
     convention and 1/sqrt(N) normalization)."""
@@ -59,7 +60,10 @@ def build_qft_mpo(
         for it in range(n)
     ]
     layer_cores, layer_ranks = stack_layers(layers)
+    # sequential prefix fold — mid-segment layer products are NOT low-rank,
+    # so a balanced pair tree cannot replace this (see transforms/dt.py)
     acc = identity_mpo(n, chi=chi, dtype=jnp.dtype(dtype))
     return compose_layers(
-        acc, layer_cores, layer_ranks, cutoff=cutoff, maxdim=maxdim
+        acc, layer_cores, layer_ranks, cutoff=cutoff, maxdim=maxdim,
+        chi_work=chi_work,
     )

@@ -36,9 +36,11 @@ from qilaplace_tpu.ops.apply import (
 )
 from qilaplace_tpu.utils.config import bucket_for
 
-_STATIC_BUILD_PAIRED_QFT_MPO = ("n", "cutoff", "maxdim", "chi", "dtype")
+_STATIC_BUILD_PAIRED_QFT_MPO = (
+    "n", "cutoff", "maxdim", "chi", "dtype", "chi_work"
+)
 _STATIC_BUILD_ZT_MPO = (
-    "n", "cutoff", "maxdim", "chi", "chi_dt", "chi_qft", "dtype"
+    "n", "cutoff", "maxdim", "chi", "chi_dt", "chi_qft", "dtype", "chi_work"
 )
 
 
@@ -50,6 +52,7 @@ def build_paired_qft_mpo(
     maxdim: int = 1000,
     chi: int | None = None,
     dtype=np.complex128,
+    chi_work: int | None = None,
 ) -> PairedSiteMPO:
     """The paired 2n-site QFT factor of the z-transform (acts on the copy
     register; reference src/transforms/zt_transformer.jl:78-99)."""
@@ -64,9 +67,11 @@ def build_paired_qft_mpo(
         for k in range(1, n + 1)
     ]
     layer_cores, layer_ranks = stack_layers(layers)
+    # sequential prefix fold — see the note in transforms/dt.py
     acc = identity_mpo(n, chi=chi, dtype=jnp.dtype(dtype), paired=True)
     out = compose_layers(
-        acc.chain, layer_cores, layer_ranks, cutoff=cutoff, maxdim=maxdim
+        acc.chain, layer_cores, layer_ranks, cutoff=cutoff, maxdim=maxdim,
+        chi_work=chi_work,
     )
     return PairedSiteMPO(chain=out)
 
@@ -82,6 +87,7 @@ def build_zt_mpo(
     chi_dt: int | None = None,
     chi_qft: int | None = None,
     dtype=np.complex128,
+    chi_work: int | None = None,
 ) -> PairedSiteMPO:
     """Build the z-transform MPO at damping ``wr`` (angular axis fixed at
     omega_i = 2*pi by the QFT factor).
@@ -108,15 +114,25 @@ def build_zt_mpo(
         W_qft = control_Hphase_ztmps_mpo(1, dtype=dtype)
         return mpo_repad(apply_mpo_mpo(W_dt, W_qft), chi)
 
+    # fast mode (chi_work < 2*chi) propagates to the factor builds: their
+    # folds zip at their own cap instead of 2x
+    fuse_work = chi_work if chi_work is not None else 2 * chi
+    fast = fuse_work < 2 * chi
     W_dt = build_dt_mpo(n, wr, cutoff=cutoff, maxdim=maxdim, chi=chi_dt,
-                        dtype=dtype)
+                        dtype=dtype, chi_work=chi_dt if fast else None)
     W_qft = build_paired_qft_mpo(n, cutoff=cutoff, maxdim=maxdim, chi=chi_qft,
-                                 dtype=dtype)
+                                 dtype=dtype,
+                                 chi_work=chi_qft if fast else None)
+    # The default fuse works at 2*chi, keeping the zip-up exact (true
+    # product rank <= dt_plateau * qft_plateau ~= 18 * 8 = 144 < 256) so the
+    # canonical polish lands on the reference's ~89-92 plateau instead of
+    # pinning at the chi cap (reference docs/src/benchmarking.md:216-219).
+    # chi_work=chi gives the ~4x cheaper zip-at-cap fuse for loose cutoffs.
     return apply_mpo_mpo(
         W_dt,
         W_qft,
         chi_out=chi,
-        zip_maxdim=chi,
         cutoff=cutoff,
         maxdim=maxdim_out,
+        chi_work=fuse_work,
     )

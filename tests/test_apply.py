@@ -98,6 +98,39 @@ def test_mpo_composition_fused_matches_exact():
     assert np.allclose(fused, exact, atol=1e-9 * np.abs(exact).max())
 
 
+def test_partial_window_composition():
+    # reference src/linalg/apply.jl:124-199 (tested at test/test_apply.jl:415):
+    # the shorter MPO acts on a window of the longer, identity outside
+    n_long = 5
+    A = random_mpo(n_long, chi_true=2, seed=30)
+    Wwin = random_mpo(2, chi_true=3, seed=31)
+    for start in (0, 1, 3):
+        C = apply_mpo_mpo(A, Wwin, offset=start)
+        got = np.asarray(mpo_to_dense(C))
+        w_embedded = np.kron(
+            np.kron(np.eye(2**start), np.asarray(mpo_to_dense(Wwin))),
+            np.eye(2 ** (n_long - start - 2)),
+        )
+        expected = w_embedded @ np.asarray(mpo_to_dense(A))
+        assert np.allclose(got, expected, atol=1e-10)
+        # the longer operand may also come second
+        C2 = apply_mpo_mpo(Wwin, A, offset=start)
+        got2 = np.asarray(mpo_to_dense(C2))
+        assert np.allclose(got2, np.asarray(mpo_to_dense(A)) @ w_embedded,
+                           atol=1e-10)
+
+
+def test_partial_window_composition_errors():
+    A = random_mpo(4, chi_true=2, seed=32)
+    W = random_mpo(2, chi_true=2, seed=33)
+    with pytest.raises(ValueError, match="offset"):
+        apply_mpo_mpo(A, W)  # unequal lengths need an explicit offset
+    with pytest.raises(ValueError, match="out of range"):
+        apply_mpo_mpo(A, W, offset=3)
+    with pytest.raises(ValueError, match="offset"):
+        apply_mpo_mpo(A, random_mpo(4, seed=34), offset=1)
+
+
 def test_embed_window_dense():
     n_total = 5
     W = random_mpo(2, chi_true=2, seed=11)

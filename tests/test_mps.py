@@ -233,6 +233,28 @@ def test_nsite_and_validate():
         validate(bad)
 
 
+def test_validate_mpo_and_paired():
+    # MPO analog of reference check_singlesitempo/check_pairedsitempo
+    # (src/mpo.jl:150-372)
+    import pytest as _pytest
+    import jax.numpy as jnp
+    from qilaplace_tpu import build_zt_mpo, identity_mpo, validate
+    from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO
+
+    W = identity_mpo(3, chi=4)
+    validate(W)
+    Wp = build_zt_mpo(2, 1.0, cutoff=1e-14)
+    validate(Wp, atol=1e-12)
+
+    bad = MPO(cores=W.cores.at[1, 3, 0, 0, 3].set(1.0), ranks=W.ranks)
+    with _pytest.raises(ValueError, match="padding"):
+        validate(bad)
+    with _pytest.raises(ValueError, match="boundary"):
+        validate(MPO(cores=W.cores, ranks=W.ranks.at[0].set(2)))
+    with _pytest.raises(ValueError, match="even"):
+        validate(PairedSiteMPO(chain=W))  # 3 chain sites is not paired
+
+
 def test_signal_ztmps_full_rank_oracle_n7():
     # regression (advisor, round 1): the copy-tensor fan-out split's true
     # rank is up to 2x the incoming bond rank; with a full-rank signal whose

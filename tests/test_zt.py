@@ -77,11 +77,19 @@ def test_coefficient_interleaved_readout():
 
 
 def test_zt_bond_plateau():
-    # D_max ~ 89-92 from m >~ 18 (reference docs/src/benchmarking.md:216-219);
-    # at n = 8 it is already well above the DT plateau
+    # D_max ~ 89-92 from m >~ 18 (reference docs/src/benchmarking.md:216-219):
+    # the canonical compression must land near the plateau, NOT pin at the
+    # chi=128 cap (the round-1 regression: a zip-up truncating at the cap
+    # injected non-canonical noise above the cutoff)
     W = build_zt_mpo(8, 2 * np.pi, cutoff=1e-15, chi=128)
     mb = int(max_bond(W))
-    assert 30 <= mb <= 128, mb
+    assert 80 <= mb <= 100, mb
+
+
+def test_zt_bond_plateau_n10():
+    W = build_zt_mpo(10, 2 * np.pi, cutoff=1e-15, chi=128)
+    mb = int(max_bond(W))
+    assert 85 <= mb <= 100, mb
 
 
 def test_zt_fused_apply_matches_exact():
