@@ -87,6 +87,8 @@ def _apply_fused(
     maxdim = min(maxdim, chi_out)
     dtype = jnp.result_type(W.dtype, psi.dtype)
 
+    # the zip inherits the polish cutoff's factorization profile
+    fast = isinstance(cutoff, (int, float)) and 0.0 < cutoff and cutoff >= 1e-10
     C0 = jnp.zeros((chi_work, chiW, chiS), dtype=dtype).at[0, 0, 0].set(1.0)
 
     def step(carry, inp):
@@ -95,7 +97,8 @@ def _apply_fused(
         T = jnp.einsum("xab,aoic,bid->xocd", C, Wcore, Acore)
         M = T.reshape(chi_work * 2, chiW * chiS)
         L, R, rank = svd_split(
-            M, cutoff=cutoff, maxdim=chi_work, absorb="right", out_dim=chi_work
+            M, cutoff=cutoff, maxdim=chi_work, absorb="right",
+            out_dim=chi_work, fast=fast or None,
         )
         core = L.reshape(chi_work, 2, chi_work)
         return (R.reshape(chi_work, chiW, chiS), rank), (core, rank)
@@ -215,6 +218,9 @@ def _compose_fused(
     zip_maxdim = min(zip_maxdim, chi_work)
     maxdim = min(maxdim, chi_out)
 
+    # zip runs at cutoff 0 (cap-only) but inherits the factorization
+    # profile of the real cutoff applied by the polish
+    fast = isinstance(cutoff, (int, float)) and 0.0 < cutoff and cutoff >= 1e-10
     C0 = jnp.zeros((chi_work, chiB, chiA), dtype=dtype).at[0, 0, 0].set(1.0)
 
     def step(carry, inp):
@@ -223,7 +229,8 @@ def _compose_fused(
         T = jnp.einsum("xba,botc,atid->xoicd", C, Bcore, Acore)
         M = T.reshape(chi_work * 4, chiB * chiA)
         L, R, rank = svd_split(
-            M, cutoff=0.0, maxdim=zip_maxdim, absorb="right", out_dim=chi_work
+            M, cutoff=0.0, maxdim=zip_maxdim, absorb="right",
+            out_dim=chi_work, fast=fast or None,
         )
         return (R.reshape(chi_work, chiB, chiA), rank), (
             L.reshape(chi_work, 4, chi_work),

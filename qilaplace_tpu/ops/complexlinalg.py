@@ -49,9 +49,10 @@ def _native_complex_linalg() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _device_eigh(H: jax.Array):
+def _device_eigh(H: jax.Array, *, sweeps: int | None = None):
     """Jacobi eigh on the device path: Pallas kernel on real accelerators,
-    the lax.scan reference under CPU emulation/tests."""
+    the lax.scan reference under CPU emulation/tests. ``sweeps`` overrides
+    the per-size default (loose-cutoff truncations request fewer)."""
     m = H.shape[-1]
     if (
         jax.default_backend() != "cpu"
@@ -59,19 +60,20 @@ def _device_eigh(H: jax.Array):
         and m <= 512
         and H.real.dtype == jnp.float32
     ):
-        return jacobi_eigh_pallas(H)
-    return jacobi_eigh(H)
+        return jacobi_eigh_pallas(H, sweeps=sweeps)
+    return jacobi_eigh(H, sweeps=sweeps)
 
 
 @highest_precision
-def ceigh(H: jax.Array):
+def ceigh(H: jax.Array, *, sweeps: int | None = None):
     """Hermitian eigendecomposition, ascending eigenvalues.
 
     Returns ``(lam [..., n] real, V [..., n, n])`` with H V = V diag(lam).
+    ``sweeps`` tunes the device Jacobi solver only (ignored on LAPACK).
     """
     if _native_complex_linalg():
         return jnp.linalg.eigh(H)
-    return _device_eigh(H)
+    return _device_eigh(H, sweeps=sweeps)
 
 
 @highest_precision
@@ -193,7 +195,8 @@ def chol_qr(Y: jax.Array, *, passes: int = 2, shift: float | None = None):
 
 
 @highest_precision
-def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None):
+def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None,
+                        sweeps: int | None = None):
     """Orthonormal basis of range(Y) via the Gram eigendecomposition,
     padding- and rank-deficiency-safe.
 
@@ -213,7 +216,7 @@ def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None):
     Q, rank = Y, jnp.int32(l)
     for _ in range(2):
         G = Q.conj().T @ Q
-        lam, V = ceigh(G)  # ascending
+        lam, V = ceigh(G, sweeps=sweeps)  # ascending
         lam = jnp.maximum(lam.real[::-1], 0.0)
         V = V[:, ::-1]
         lam_max = jnp.maximum(lam[0], jnp.finfo(lam.dtype).tiny)

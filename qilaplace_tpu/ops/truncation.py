@@ -33,7 +33,15 @@ from qilaplace_tpu.ops.complexlinalg import (
     csvd,
     gram_orthonormalize,
 )
+from qilaplace_tpu.ops.jacobi import fast_sweeps
 from qilaplace_tpu.utils.config import highest_precision
+
+# Loose truncation budgets tolerate loose factorizations: at relative
+# squared cutoffs >= this, the device path runs fewer Jacobi sweeps and no
+# power iteration (factorization residuals land far below the truncation
+# scale sqrt(cutoff) ~ 3e-5). Static at trace time — the cutoff is a Python
+# float in every builder/sweep call.
+FAST_CUTOFF = 1e-10
 
 
 def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1, *, total=None) -> jax.Array:
@@ -67,13 +75,13 @@ def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
-def _gram_svd(M: jax.Array):
+def _gram_svd(M: jax.Array, sweeps: int | None = None):
     """Complete-Gram SVD on the device path (same construction as
     complexlinalg.csvd but via _device_eigh unconditionally)."""
     a, b = M.shape
     eps = jnp.finfo(M.real.dtype).eps
     if a <= b:
-        _, U = _device_eigh(M @ jnp.conj(M.T))
+        _, U = _device_eigh(M @ jnp.conj(M.T), sweeps=sweeps)
         B = jnp.conj(U.T) @ M
         s = jnp.linalg.norm(B, axis=1)
         order = jnp.argsort(-s)
@@ -82,7 +90,7 @@ def _gram_svd(M: jax.Array):
         keep = s > 4.0 * eps * smax
         inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
         return U, s, B * inv[:, None].astype(M.dtype)
-    _, V = _device_eigh(jnp.conj(M.T) @ M)
+    _, V = _device_eigh(jnp.conj(M.T) @ M, sweeps=sweeps)
     B = M @ V
     s = jnp.linalg.norm(B, axis=0)
     order = jnp.argsort(-s)
@@ -93,7 +101,8 @@ def _gram_svd(M: jax.Array):
     return B * inv[None, :].astype(M.dtype), s, jnp.conj(V.T)
 
 
-def _sketched_svd(M: jax.Array, l: int, power_iters: int):
+def _sketched_svd(M: jax.Array, l: int, power_iters: int,
+                  sweeps: int | None = None):
     """Randomized top-l factorization: returns (U [a, l], s [l], Vh [l, b]).
 
     Range finder + Gram orthonormalization + power iteration, then the
@@ -118,12 +127,12 @@ def _sketched_svd(M: jax.Array, l: int, power_iters: int):
         ).astype(M.dtype)
     else:
         Om = jax.random.normal(key, (b, l), dtype=M.dtype)
-    Q, _ = gram_orthonormalize(M @ Om)
+    Q, _ = gram_orthonormalize(M @ Om, sweeps=sweeps)
     for _ in range(power_iters):
-        Q, _ = gram_orthonormalize(jnp.conj(M.T) @ Q)
-        Q, _ = gram_orthonormalize(M @ Q)
+        Q, _ = gram_orthonormalize(jnp.conj(M.T) @ Q, sweeps=sweeps)
+        Q, _ = gram_orthonormalize(M @ Q, sweeps=sweeps)
     B = jnp.conj(Q.T) @ M  # [l, b]
-    Ub, s, Vh = _gram_svd(B)
+    Ub, s, Vh = _gram_svd(B, sweeps=sweeps)
     U = Q @ Ub
     if transpose:
         return jnp.conj(Vh.T), s, jnp.conj(U.T)
@@ -132,7 +141,7 @@ def _sketched_svd(M: jax.Array, l: int, power_iters: int):
 
 @highest_precision
 def truncated_svd(M: jax.Array, *, cutoff=0.0, maxdim=None, mindim=1,
-                  power_iters: int = 1):
+                  power_iters: int = 1, fast: bool | None = None):
     """SVD with mask-based truncation.
 
     Returns ``(U, s, Vh, rank)`` with U ``[a, k]``, s ``[k]``, Vh ``[k, b]``
@@ -146,16 +155,31 @@ def truncated_svd(M: jax.Array, *, cutoff=0.0, maxdim=None, mindim=1,
         maxdim = k
     maxdim = min(maxdim, k)
 
+    # loose budgets run the fast device profile — see FAST_CUTOFF. Callers
+    # whose own cutoff lives elsewhere (e.g. the cutoff-0 zip stage feeding
+    # a loose polish) pass ``fast`` explicitly.
+    if fast is None:
+        fast = (
+            isinstance(cutoff, (int, float))
+            and cutoff >= FAST_CUTOFF
+            and cutoff > 0.0
+        )
+    sweeps = None
+    if fast:
+        power_iters = 0
+
     if _native_complex_linalg():
         U, s, Vh = csvd(M)
         rank = truncation_rank(s, cutoff, maxdim, mindim)
     else:
         l = min(k, _round8(maxdim + min(32, max(8, maxdim // 4))))
         if k <= max(64, (5 * l) // 4):
-            U, s, Vh = _gram_svd(M)
+            U, s, Vh = _gram_svd(M, sweeps=fast_sweeps(k) if fast else None)
             rank = truncation_rank(s, cutoff, maxdim, mindim)
         else:
-            U, s, Vh = _sketched_svd(M, l, power_iters)
+            if fast:
+                sweeps = fast_sweeps(l)
+            U, s, Vh = _sketched_svd(M, l, power_iters, sweeps=sweeps)
             total = jnp.sum(jnp.abs(M) ** 2).astype(s.dtype)
             rank = truncation_rank(s, cutoff, maxdim, mindim, total=total)
     kk = s.shape[0]
@@ -174,6 +198,7 @@ def svd_split(
     mindim=1,
     absorb: str = "right",
     out_dim: int | None = None,
+    fast: bool | None = None,
 ):
     """Split ``M`` into ``L @ R`` through a truncated SVD.
 
@@ -190,7 +215,9 @@ def svd_split(
     if maxdim is None:
         maxdim = out_dim
     maxdim = min(maxdim, out_dim)
-    U, s, Vh, rank = truncated_svd(M, cutoff=cutoff, maxdim=maxdim, mindim=mindim)
+    U, s, Vh, rank = truncated_svd(
+        M, cutoff=cutoff, maxdim=maxdim, mindim=mindim, fast=fast
+    )
     if absorb == "left":
         L, R = U * s[None, :], Vh
     elif absorb == "right":

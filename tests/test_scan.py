@@ -83,3 +83,38 @@ def test_coarse_to_fine_pole_search():
         abs(np.angle(z_hat) - np.angle(zp)) for zp in z_poles
     )
     assert ang_err < 2 * np.pi * 16 / N, (z_hat, z_poles, ang_err)
+
+
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    _os.environ.get("QILAPLACE_PARITY_FULL", "") != "1",
+    reason="n=20 flagship scan is minutes-long; set QILAPLACE_PARITY_FULL=1",
+)
+def test_coarse_to_fine_pole_search_n20():
+    # Reference-scale flagship run (docs/src/tutorials/zt.jl:250-268,
+    # 296-411): n=20, chi=128, damped oscillation with the tutorial's pole
+    # z+ ~ 0.99984 + 0.00408i; the coarse (wr=2pi) -> fine (wr=0.5) ->
+    # superfine cascade must localize it through the fine-window remap.
+    n = 20
+    N = 2**n
+    lam, w0 = 1.6e-4, 4.08e-3
+    j = np.arange(N)
+    x = np.exp(-lam * j) * np.sin(w0 * j)
+    psi_z = signal_ztmps(x, cutoff=1e-12, maxdim=128)
+    res = coarse_to_fine_pole_search(
+        psi_z,
+        coarse_points=128,
+        fine_points=128,
+        superfine_half=24,
+        cutoff=1e-12,
+        maxdim=128,
+    )
+    z_poles = [np.exp(-lam + 1j * w0), np.exp(-lam - 1j * w0)]
+    z_hat = complex(res.z_pole)
+    err = min(abs(z_hat - zp) for zp in z_poles)
+    # superfine grid resolution at wr_fine = 0.5: dr ~ 0.5/N, dtheta ~ 2pi/N
+    res_grid = 8 * 2 * np.pi / N
+    assert err < max(5e-4, 4 * res_grid), (z_hat, z_poles, err)
