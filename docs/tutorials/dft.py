@@ -1,9 +1,35 @@
-# # Discrete Fourier transform (QFT) tutorial
+# # Discrete Fourier Transform (QFT) tutorial
 #
-# Counterpart of reference docs/src/tutorials/dft.jl: build the QFT MPO,
-# apply it to an encoded signal, and compare against the FFT.
+# Counterpart of reference docs/src/tutorials/dft.jl (317 lines): build the
+# QFT MPO, understand its conventions (normalization, sign, bit reversal),
+# apply it to an encoded signal, and compare against the dense FFT.
 #
 # Run: python docs/tutorials/dft.py
+#
+# ## 1. What operator are we building?
+#
+# The QFT MPO realizes the unitary DFT with the -2*pi*i sign convention
+# and 1/sqrt(N) normalization,
+#     F[k, j] = e^{-2 pi i k j / N} / sqrt(N),
+# except that its OUTPUT index comes out bit-reversed: the MPO computes
+# Q[j, k] = F[bitrev(j), k] (reference test/test_qft_transformer.jl:23-33).
+# Bit reversal is intrinsic to the QFT circuit — the controlled-phase
+# cascade naturally writes the LEAST significant frequency bit onto the
+# first site. Dense FFT implementations hide the same reversal inside
+# their butterfly reordering.
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))  # repo root, for qilaplace_tpu
+
+# honor JAX_PLATFORMS even where a sitecustomize pre-pinned a backend
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_enable_x64", True)  # tutorials teach in f64
 
 import numpy as np
 import jax.numpy as jnp
@@ -11,12 +37,14 @@ import jax.numpy as jnp
 from qilaplace_tpu import (
     apply,
     build_qft_mpo,
+    compress,
     generate_signal,
     mps_to_vector,
     signal_mps,
 )
+from qilaplace_tpu.core.mps import coefficient_batch
 from qilaplace_tpu.core.mpo import max_bond
-from qilaplace_tpu.utils.bits import bit_reversal_permutation
+from qilaplace_tpu.utils.bits import bit_reversal_permutation, int_to_bits
 
 n = 10
 N = 2**n
@@ -26,26 +54,66 @@ x = np.asarray(
                     dtype=jnp.float64)
 )
 
-# ## Build the QFT operator: bond dimension saturates at 8
+# ## 2. Build: the bond dimension plateaus at 8
+#
+# The builder folds n controlled-phase layers into one compressed MPO
+# (reference src/transforms/qft_transformer.jl:121-160). Despite the DFT
+# being a DENSE N x N matrix, its MPO bond dimension saturates at 8 under
+# cutoff 1e-14 — the central structural fact that makes log-N Fourier
+# analysis possible (reference docs/src/benchmarking.md:211-213).
+
 W = build_qft_mpo(n, cutoff=1e-14)
 print(f"QFT MPO: max bond = {int(max_bond(W))} (plateau is 8)")
 
-# ## Encode, transform (fused apply+truncate), read out
-psi = signal_mps(x, cutoff=1e-12)
-out = apply(W, psi, maxdim=32, cutoff=1e-12)
+# ## 3. Apply
+#
+# Exact application multiplies bond dimensions (chi_W * chi_psi) and never
+# truncates (reference apply semantics, src/linalg/apply.jl:75-122); the
+# fused form truncates on the fly and is the TPU performance path. For a
+# rank-3 signal both agree to the cutoff:
 
-# The QFT output is bit-reversed: reverse=True reads natural frequency order
+psi = signal_mps(x, cutoff=1e-12)
+out_exact = compress(apply(W, psi), tol=1e-10)
+out = apply(W, psi, maxdim=32, cutoff=1e-12)
+d = np.abs(
+    np.asarray(mps_to_vector(out)) - np.asarray(mps_to_vector(out_exact))
+).max()
+print(f"fused vs exact apply: {d:.2e}")
+
+# ## 4. Reading the spectrum — three equivalent ways
+
+# (a) dense, with reverse=True undoing the bit reversal:
 spec = np.asarray(mps_to_vector(out, reverse=True))
 fft = np.fft.fft(x) / np.sqrt(N)
 print("max |QFT - FFT/sqrt(N)|:", np.abs(spec - fft).max())
 
-# Equivalent with an explicit bit-reversal permutation:
+# (b) dense with an explicit permutation:
 raw = np.asarray(mps_to_vector(out))
 perm = bit_reversal_permutation(n)
 spec2 = np.zeros_like(raw)
 spec2[perm] = raw
 print("permutation route agrees:", np.abs(spec2 - spec).max())
 
-# ## The dominant frequency
+# (c) pointwise — the form that scales to n=30, where a dense spectrum
+# cannot exist. To read frequency bin k, feed the BIT-REVERSED
+# configuration (equivalently: k's bits LSB-first):
+bins = np.array([0, 4, 8, 12, 500])
+cfgs = np.array([int_to_bits(int(k), n, order="lsb") for k in bins])
+vals = np.asarray(coefficient_batch(out, cfgs))
+print("pointwise reads match FFT:",
+      np.abs(vals - fft[bins]).max())
+
+# ## 5. The dominant frequency
 k_peak = int(np.argmax(np.abs(spec[: N // 2])))
 print(f"dominant frequency bin: {k_peak} (expect 8)")
+
+# ## 6. Why this beats the FFT at scale
+#
+# The dense FFT costs O(N log N) and must materialize all N samples. The
+# MPS pipeline costs O(n chi^3) for the encode and O(n chi_W^2 chi^2) for
+# the apply — LOGARITHMIC in N for structured signals. At n=28 the
+# reference measures ~2.7 s for rsvd-encode+apply vs ~8.7 s for the dense
+# FFT, and the apply alone is ~0.8 ms (docs/src/benchmarking.md:261-265);
+# the committed artifact scripts/benchmark/results/qft_vs_fft.json holds
+# this package's own sweep. At n >= 34 the dense array stops fitting in
+# memory entirely while the MPS pipeline continues unchanged.

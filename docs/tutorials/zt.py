@@ -1,13 +1,41 @@
 # # Discrete Laplace (z-)transform and pole identification
 #
-# Counterpart of reference docs/src/tutorials/zt.jl — the flagship workflow:
-# encode a damped oscillation on the paired register, apply the zT MPO, and
-# locate its poles in the complex z-plane by coarse-to-fine |chi| scans.
+# Counterpart of reference docs/src/tutorials/zt.jl (444 lines) — the
+# flagship workflow: encode a damped oscillation on the paired register,
+# apply the zT MPO, and locate its poles in the complex z-plane by
+# coarse-to-fine |chi| scans.
+#
+# ## 0. The coordinate system
 #
 #   chi(k, l) = (1/N) sum_j x_j e^{-(wr k + i wi l) j / N}
 #   s(k, l)   = (wr k + i wi l)/N,    z(k, l) = e^{-s(k, l)}
 #
+# The (k, l) grid samples the z-plane on N radial shells (k, spacing set
+# by wr) x N angles (l, spacing wi/N). With n = 30 that is an
+# M = N^2 = 2^60-point grid — never materialized: each chi(k, l) is one
+# O(n chi^2) contraction, and a whole scan window is ONE batched device
+# program. zT = pairedQFT ∘ DT (DT acts first,
+# reference src/transforms/zt_transformer.jl:101-103); its bond dimension
+# plateaus near 90 (docs/src/benchmarking.md:216-219).
+#
+# Readout convention: chi(k, l) lives at the interleaved configuration
+# [k_bit0, l_bit0, k_bit1, l_bit1, ...] — both registers LSB-first
+# (bit-reversed outputs, reference docs/src/tutorials/zt.jl:152-157).
+#
 # Run: python docs/tutorials/zt.py
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))  # repo root, for qilaplace_tpu
+
+# honor JAX_PLATFORMS even where a sitecustomize pre-pinned a backend
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_enable_x64", True)  # tutorials teach in f64
 
 import numpy as np
 import jax.numpy as jnp
@@ -51,6 +79,26 @@ ref = np.array(
     ]
 )
 print("max |chi - analytic|:", np.abs(grid - ref).max())
+
+# ## The three-stage search
+#
+# A pole of the signal's z-transform is a peak of |chi| on the grid.
+# The cascade (reference docs/src/tutorials/zt.jl:296-411):
+#
+# 1. COARSE — wr = 2 pi spans the whole disk; scan a strided (k, l)
+#    lattice and take the argmax.
+# 2. FINE — rebuild the MPO at wr = 0.5: the same N radial shells now
+#    concentrate near |z| = 1 where physical poles live. The coarse peak
+#    (found in wr = 2 pi coordinates) is REMAPPED into the new grid via
+#    k' = round(-N ln r / wr_fine), l' = round(N theta / wi) — the
+#    z-plane position is the invariant, not the indices
+#    (scan/pole_scan.py kl_from_z). Scan a window around the remap.
+# 3. SUPERFINE — stride-1 window around the fine peak, reusing the fine
+#    transform. Final resolution: dr ~ wr_fine/N radially, 2 pi / N in
+#    angle.
+#
+# Because wr is a traced argument, the fine rebuild reuses the compiled
+# build program; on TPU both scans run through the fused Pallas readout.
 
 # ## Pole identification at scale: n = 10, poles near the unit circle
 n_big = 10

@@ -173,7 +173,7 @@ def nsite(psi) -> int:
     return len(psi)
 
 
-def validate(obj, *, atol: float = 0.0) -> None:
+def validate(obj, *, atol: float | None = None) -> None:
     """Structural validation on concrete containers — the analog of the
     reference's check_mps/check_ztmps/check_singlesitempo/check_pairedsitempo
     (src/mps.jl:188-330, src/mpo.jl:150-372), whose Index-wiring invariants
@@ -182,7 +182,12 @@ def validate(obj, *, atol: float = 0.0) -> None:
     outside the valid blocks, paired chains even-length (the main/copy
     disjointness and alternating bond wiring of mpo.jl:251-366 hold by
     construction of the interleaved layout). Raises ValueError on violation.
-    Concrete (non-traced) arrays only."""
+    Concrete (non-traced) arrays only.
+
+    ``atol`` defaults to 64 * eps * max|core| — padded entries are exact
+    zeros analytically, but LAPACK factors of chains whose padding was
+    itself produced numerically leak O(eps)-scale residue; pass 0.0 to
+    demand bit-exact padding."""
     from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO, _mpo_chain
 
     if isinstance(obj, (MPO, PairedSiteMPO)):
@@ -194,6 +199,9 @@ def validate(obj, *, atol: float = 0.0) -> None:
     cores = np.asarray(m.cores)
     ranks = np.asarray(m.ranks)
     n, chi = m.n, m.chi
+    if atol is None:
+        scale = float(np.abs(cores).max()) if cores.size else 0.0
+        atol = 64.0 * float(np.finfo(cores.real.dtype).eps) * scale
     if paired and n % 2 != 0:
         raise ValueError(
             "validate: paired-register chains must have an even number of sites"
