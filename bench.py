@@ -43,6 +43,10 @@ import time
 BASELINE_S = 20.036
 CHI = 128
 N_SCAN = 4096
+# 1e-7 relative-squared: accuracy-optimal for the c64 device pipeline
+# (tighter cutoffs keep MORE ranks whose c64 zip-truncation noise then
+# dominates: measured n=14 err 2.2e-2 at 1e-7 vs 6.8e-2..0.10 at 1e-9)
+CUTOFF = 1e-7
 WR = 2 * 3.141592653589793
 FREQ, DECAY = 2.0, 0.5
 
@@ -107,6 +111,15 @@ def child(n: int, mode: str) -> None:
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # observability hook: QILAPLACE_TRACE_DIR=<dir> captures a jax.profiler
+    # trace of the whole child (view with tensorboard / xprof)
+    trace_dir = os.environ.get("QILAPLACE_TRACE_DIR")
+    if trace_dir:
+        import atexit
+
+        jax.profiler.start_trace(trace_dir)
+        atexit.register(jax.profiler.stop_trace)
+
     import numpy as np
     import jax.numpy as jnp
 
@@ -125,7 +138,7 @@ def child(n: int, mode: str) -> None:
 
     @jax.jit
     def step(W, psi, configs):
-        out = apply(W, psi, maxdim=CHI, cutoff=1e-9, final_sweeps=0)
+        out = apply(W, psi, maxdim=CHI, cutoff=CUTOFF, final_sweeps=0)
         vals = coefficient_batch_pallas(out, configs)
         return jnp.real(vals), jnp.imag(vals)  # complex is not fetchable
 
@@ -137,7 +150,7 @@ def child(n: int, mode: str) -> None:
         x = generate_signal(n, kind="sin_decay", freq=FREQ, decay_rate=DECAY,
                             dtype=jnp.float32)
         t0 = time.perf_counter()
-        psi = signal_ztmps(x, method="rsvd", k=50, p=5, q=2, cutoff=1e-9,
+        psi = signal_ztmps(x, method="rsvd", k=50, p=5, q=2, cutoff=CUTOFF,
                            maxdim=CHI)
         np.asarray(psi.chain.ranks)
         # free the 2^n-sample signal NOW: at n=30 it is 4 GiB of HBM and
@@ -145,7 +158,7 @@ def child(n: int, mode: str) -> None:
         x.delete()
         t_enc = time.perf_counter() - t0
         t0 = time.perf_counter()
-        W = build_zt_mpo(n, WR, cutoff=1e-9, maxdim=CHI, chi=CHI,
+        W = build_zt_mpo(n, WR, cutoff=CUTOFF, maxdim=CHI, chi=CHI,
                          dtype=np.complex64, chi_work=CHI)
         np.asarray(W.chain.ranks)
         t_build = time.perf_counter() - t0
@@ -188,7 +201,7 @@ def child(n: int, mode: str) -> None:
         x = generate_signal(n, kind="sin_decay", freq=FREQ, decay_rate=DECAY,
                             dtype=jnp.float32)
         t0 = time.perf_counter()
-        psi = signal_ztmps(x, method="rsvd", k=50, p=5, q=2, cutoff=1e-9,
+        psi = signal_ztmps(x, method="rsvd", k=50, p=5, q=2, cutoff=CUTOFF,
                            maxdim=CHI)
         np.asarray(psi.chain.ranks)
         x.delete()
@@ -202,7 +215,7 @@ def child(n: int, mode: str) -> None:
         del psi
         log(f"encode {t_enc:.2f}s")
         t0 = time.perf_counter()
-        W = build_zt_mpo(n, WR, cutoff=1e-9, maxdim=CHI, chi=CHI,
+        W = build_zt_mpo(n, WR, cutoff=CUTOFF, maxdim=CHI, chi=CHI,
                          dtype=np.complex64, chi_work=CHI)
         np.asarray(W.chain.ranks)
         t_build = time.perf_counter() - t0
@@ -259,12 +272,12 @@ def child(n: int, mode: str) -> None:
             x = generate_signal(n, kind="sin_decay", freq=FREQ,
                                 decay_rate=DECAY, dtype=jnp.float32)
             t0 = time.perf_counter()
-            psi = signal_ztmps(x, method="rsvd", k=50, p=5, q=2, cutoff=1e-9,
+            psi = signal_ztmps(x, method="rsvd", k=50, p=5, q=2, cutoff=CUTOFF,
                                maxdim=CHI)
             jax.block_until_ready(psi.chain.cores)
             t_enc = time.perf_counter() - t0
             t0 = time.perf_counter()
-            W = build_zt_mpo(n, WR, cutoff=1e-9, maxdim=CHI, chi=CHI,
+            W = build_zt_mpo(n, WR, cutoff=CUTOFF, maxdim=CHI, chi=CHI,
                              dtype=np.complex64, chi_work=CHI)
             jax.block_until_ready(W.chain.cores)
             t_build = time.perf_counter() - t0

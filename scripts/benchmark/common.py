@@ -130,3 +130,41 @@ class TimeBudget:
         if elapsed > self.seconds:
             self.exceeded = True
         return self.exceeded
+
+
+# Cusp benchmark parameters (reference scripts/benchmark/common.jl:60-63)
+_CUSP_A = (0.6, -0.4, 0.5, 0.35)
+_CUSP_B = (80.0, 120.0, 90.0, 100.0)
+_CUSP_C = (0.2, 0.45, 0.62, 0.85)
+
+
+def make_signal(kind: str, n: int, *, seed: int = 1234):
+    """Benchmark signal factory, including the two benchmark-only kinds of
+    reference scripts/benchmark/common.jl:66-92 (:sine20, :sin_cusp) on top
+    of the public generate_signal kinds."""
+    import jax.numpy as jnp
+
+    from qilaplace_tpu import generate_signal
+
+    N = 2**n
+    if kind == "sin":
+        return generate_signal(n, kind="sin", dt=1.0, freq=2 * np.pi * 2 / N)
+    if kind == "multi_sin":
+        return generate_signal(n, kind="multi_sin", dt=5.0 / N)
+    if kind == "multi_sin_exp":
+        return generate_signal(n, kind="multi_sin_exp", dt=5.0 / N,
+                               omega_scale=150.0)
+    if kind == "abs_cos_power_p8":
+        return generate_signal(n, kind="abs_cos_power_p8", dt=5.0 / N)
+    if kind == "sine20":
+        freqs = [2 * np.pi * k / N for k in range(1, 21)]
+        return generate_signal(n, kind="sin", dt=1.0, freq=freqs)
+    if kind == "sin_cusp":
+        x = jnp.arange(N) / max(N - 1, 1)
+        out = jnp.cos(2 * np.pi * x)
+        for a, b, c in zip(_CUSP_A, _CUSP_B, _CUSP_C):
+            out = out + a * jnp.exp(-b * jnp.abs(x - c))
+        return out
+    if kind == "random":
+        return generate_signal(n, kind="random", seed=seed + n)
+    raise ValueError(f"make_signal: unknown kind {kind}")
