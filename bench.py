@@ -12,7 +12,8 @@ Two setup modes, tried in order:
 
 * "tpu": every stage runs on the TPU device — signal generation, the rsvd
   encode, the zT MPO build (device Jacobi linalg, ops/jacobi.py), the fused
-  apply and the Pallas readout. One compile-warmup pass precedes timing.
+  apply and the batched scan readout. One compile-warmup pass precedes
+  timing.
   Runs as TWO subprocesses (setup -> split-f32 npz -> apply): the tunneled
   runtime never returns the encode's multi-GiB arena to the pool, so at
   n=30 the apply step RESOURCE_EXHAUSTs in the same process even after
@@ -124,10 +125,9 @@ def child(n: int, mode: str) -> None:
     import jax.numpy as jnp
 
     from qilaplace_tpu import build_zt_mpo, generate_signal, signal_ztmps
-    from qilaplace_tpu.core.mps import MPS, ZTMPS
+    from qilaplace_tpu.core.mps import MPS, ZTMPS, coefficient_batch
     from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO
     from qilaplace_tpu.ops.apply import apply
-    from qilaplace_tpu.ops.pallas_kernels import coefficient_batch_pallas
 
     cpu = jax.local_devices(backend="cpu")[0]
     tpu = jax.devices()[0]
@@ -136,10 +136,15 @@ def child(n: int, mode: str) -> None:
     ks, ls, cfg_np = scan_samples(n)
     configs = jax.device_put(cfg_np, tpu)
 
+    # Readout via the batched XLA scan: at B=4096 its warm runtime equals
+    # the fused Pallas kernel's (2.248 s vs 2.248 s measured at n=30, the
+    # apply dominates) and it compiles in ~4 s where the Mosaic kernel
+    # takes ~390 s at n=30 and is NOT held by the persistent compile
+    # cache. chi_grid still routes big scan grids through Pallas.
     @jax.jit
     def step(W, psi, configs):
         out = apply(W, psi, maxdim=CHI, cutoff=CUTOFF, final_sweeps=0)
-        vals = coefficient_batch_pallas(out, configs)
+        vals = coefficient_batch(out, configs)
         return jnp.real(vals), jnp.imag(vals)  # complex is not fetchable
 
     def encode_build():
@@ -321,21 +326,22 @@ def child(n: int, mode: str) -> None:
         log(f"warmup total (incl. compiles) {time.perf_counter() - t0:.2f}s "
             f"(encode {t_enc:.2f} build {t_build:.2f})")
 
-        times, parts = [], []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            host, t_enc, t_build = encode_build_cpu()
-            t1 = time.perf_counter()
-            psi, W = ship(host)
-            t_ship = time.perf_counter() - t1
+        # warm setup timing (second pass), then ship once and time the step
+        # alone: interleaving re-setup between steps retriggers a retrace
+        # of the jitted step under the toggled default-device context (one
+        # ~6 min Mosaic/XLA recompile per iteration at n=30)
+        host, t_enc, t_build = encode_build_cpu()
+        t1 = time.perf_counter()
+        psi, W = ship(host)
+        t_ship = time.perf_counter() - t1
+        times = []
+        for _ in range(3):
             t1 = time.perf_counter()
             re, im = step(W, psi, configs)
             re_h, im_h = np.asarray(re), np.asarray(im)
-            t_app = time.perf_counter() - t1
-            times.append(time.perf_counter() - t0)
-            parts.append((t_enc + t_ship, t_build, t_app))
-        best = int(np.argsort(times)[len(times) // 2])
-        t_enc, t_build, t_apply = parts[best]
+            times.append(time.perf_counter() - t1)
+        t_enc = t_enc + t_ship
+        t_apply = float(np.median(times))
         setup_device = "cpu"
 
     t_total = t_enc + t_build + t_apply
@@ -360,7 +366,7 @@ def child(n: int, mode: str) -> None:
                 "max_err_rel_peak": round(err, 8),
                 "mpo_bond": mpo_bond,
                 "setup_device": setup_device,
-                "readout": "pallas",
+                "readout": "scan",
             }
         ),
         flush=True,
