@@ -14,6 +14,8 @@ sample-by-sample.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -24,6 +26,37 @@ _LEGACY_N_TERMS = 10
 
 def _jvals(n: int, dtype):
     return jnp.arange(2**n, dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("n", "dtype"))
+def _damped_sin_sum(n: int, w, lam, ph, amp, dtype):
+    """sum_t amp_t * sin(w_t j + ph_t) * e^{-lam_t j} for j = 0..2^n-1,
+    as ONE fused XLA program: the eager op-by-op evaluation materializes a
+    4 GiB temporary PER OP at n=30 (measured 191 s of host swapping vs
+    ~6 s fused). w/lam/ph/amp: [T] arrays."""
+    j = jnp.arange(2**n, dtype=dtype)
+
+    def term(carry, inp):
+        w_t, lam_t, ph_t, a_t = inp
+        return carry + a_t * jnp.sin(w_t * j + ph_t) * jnp.exp(-lam_t * j), None
+
+    out, _ = jax.lax.scan(
+        term, jnp.zeros_like(j), (w, lam, ph, amp)
+    )
+    return out
+
+
+@partial(jax.jit, static_argnames=("n", "dtype"))
+def _abs_cos_pow(n: int, w, power, dtype):
+    j = jnp.arange(2**n, dtype=dtype)
+    return jnp.abs(jnp.cos(w * j)) ** power
+
+
+def _damped_sin(n, w, lam, ph, amp, dtype):
+    arr = lambda v: jnp.atleast_1d(jnp.asarray(v, dtype=dtype))
+    T = max(np.size(w), np.size(lam), np.size(ph), np.size(amp))
+    full = lambda v: jnp.broadcast_to(arr(v), (T,))
+    return _damped_sin_sum(n, full(w), full(lam), full(ph), full(amp), dtype)
 
 
 def generate_signal(
@@ -47,7 +80,6 @@ def generate_signal(
         f_max = float(np.max(np.abs(freq_arr)))
         dt = 1.0 if f_max == 0 else 1.0 / (f_max * 2**n)
     dt = float(dt)
-    j = _jvals(n, dtype)
 
     if kind == "sin":
         phase = kwargs.get("phase", 0.0)
@@ -57,15 +89,13 @@ def generate_signal(
             else np.atleast_1d(np.asarray(phase, dtype=np.float64))
         )
         if np.isscalar(freq_val) or np.asarray(freq_val).ndim == 0:
-            out = jnp.sin(freq_arr[0] * dt * j + float(phase_arr[0]))
+            phase_arr = phase_arr[:1]
         else:
             if phase is None or np.asarray(phase).ndim == 0:
                 phase_arr = np.zeros_like(freq_arr) + phase_arr[0]
             if len(phase_arr) != len(freq_arr):
                 raise ValueError("freq and phase vectors must have equal length")
-            out = jnp.zeros_like(j)
-            for w, ph in zip(freq_arr, phase_arr):
-                out = out + jnp.sin(w * dt * j + ph)
+        out = _damped_sin(n, freq_arr * dt, 0.0, phase_arr, 1.0, dtype)
         noise = float(kwargs.get("noise_level", 0.0))
         if noise > 0:
             seed = int(kwargs.get("seed", 0))
@@ -84,10 +114,7 @@ def generate_signal(
         ak = rng_a.random(n_terms)
         ak = ak / np.linalg.norm(ak)
         wk = (omega_scale * dt) * (rng_w.random(n_terms) - 0.5)
-        out = jnp.zeros_like(j)
-        for a, w in zip(ak, wk):
-            out = out + a * jnp.sin(w * j)
-        return out
+        return _damped_sin(n, wk, 0.0, 0.0, ak, dtype)
 
     if kind == "sin_decay":
         decay = kwargs.get("decay_rate", 1.0)
@@ -95,9 +122,8 @@ def generate_signal(
         decay_arr = np.atleast_1d(np.asarray(decay, dtype=np.float64))
         if np.asarray(freq_val).ndim == 0:
             ph = 0.0 if phase is None else float(np.atleast_1d(phase)[0])
-            return jnp.sin(freq_arr[0] * dt * j + ph) * jnp.exp(
-                -decay_arr[0] * dt * j
-            )
+            return _damped_sin(n, freq_arr[:1] * dt, decay_arr[:1] * dt, ph,
+                               1.0, dtype)
         if len(decay_arr) != len(freq_arr):
             raise ValueError("freq and decay_rate vectors must have equal length")
         phase_arr = (
@@ -107,10 +133,8 @@ def generate_signal(
         )
         if len(phase_arr) != len(freq_arr):
             raise ValueError("freq and phase vectors must have equal length")
-        out = jnp.zeros_like(j)
-        for w, lam, ph in zip(freq_arr, decay_arr, phase_arr):
-            out = out + jnp.sin(w * dt * j + ph) * jnp.exp(-lam * dt * j)
-        return out
+        return _damped_sin(n, freq_arr * dt, decay_arr * dt, phase_arr, 1.0,
+                           dtype)
 
     if kind == "multi_sin_exp":
         n_terms = int(kwargs.get("n_terms", _LEGACY_N_TERMS))
@@ -126,14 +150,11 @@ def generate_signal(
         ak = ak / np.linalg.norm(ak)
         wk = (omega_scale * dt) * (rng_w.random(n_terms) - 0.5)
         lk = -(lam_scale * dt) * rng_l.random(n_terms)
-        out = jnp.zeros_like(j)
-        for a, w, lam in zip(ak, wk, lk):
-            out = out + a * jnp.sin(w * j) * jnp.exp(lam * j)
-        return out
+        return _damped_sin(n, wk, -lk, 0.0, ak, dtype)
 
     if kind == "abs_cos_power_p8":
         power = float(kwargs.get("power", 0.8))
-        return jnp.abs(jnp.cos(2 * np.pi * dt * j)) ** power
+        return _abs_cos_pow(n, 2 * np.pi * dt, power, dtype)
 
     raise ValueError(
         f"Unsupported signal kind: {kind}. Supported: sin, multi_sin, "
