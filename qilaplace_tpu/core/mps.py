@@ -102,6 +102,21 @@ class MPS:
             cores[i, : ranks[i], :, : ranks[i + 1]] for i in range(self.n)
         ]
 
+    @staticmethod
+    def empty(n: int, *, chi: int = 8, dtype=jnp.complex64,
+              amplitude=1.0) -> "MPS":
+        """Zero-initialized n-site chain with all bonds rank 1 — the analog
+        of the reference's bare ``SignalMPS(n)`` constructor
+        (src/mps.jl:142-146: fresh Index wiring, zero ITensors), ready to be
+        filled site by site."""
+        if n < 1:
+            raise ValueError("MPS.empty: need n >= 1")
+        return MPS(
+            cores=jnp.zeros((n, chi, 2, chi), dtype=dtype),
+            ranks=jnp.ones((n + 1,), dtype=jnp.int32),
+            amplitude=jnp.asarray(amplitude),
+        )
+
 
 # SignalMPS is the single-register MPS (reference src/mps.jl:70-79).
 SignalMPS = MPS
@@ -136,6 +151,16 @@ class ZTMPS:
         if isinstance(config, tuple):
             config = list(config)
         return coefficient(self, jnp.asarray(config))
+
+    @staticmethod
+    def empty(n: int, *, chi: int = 8, dtype=jnp.complex64,
+              amplitude=1.0) -> "ZTMPS":
+        """Zero-initialized paired-register state (2n-site chain, all bonds
+        rank 1) — the analog of the reference's bare ``ZTMPS(n)``
+        constructor (src/mps.jl:180-184)."""
+        return ZTMPS(
+            chain=MPS.empty(2 * n, chi=chi, dtype=dtype, amplitude=amplitude)
+        )
 
 
 def _chain(psi) -> MPS:

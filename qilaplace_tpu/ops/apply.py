@@ -187,6 +187,7 @@ def _compose_fused(
     maxdim: int,
     final_sweeps: int = 1,
     chi_work: int | None = None,
+    polish: str = "full",
 ) -> MPO:
     """Zip-up composition B ∘ A with mask-truncation.
 
@@ -209,6 +210,14 @@ def _compose_fused(
     instead of the ~90 plateau of reference docs/src/benchmarking.md:216-219).
     The final forward polish sweep caps ranks at ``maxdim <= chi_out`` and
     leaves valid data in the leading block, so the closing slice is exact.
+
+    ``polish='reverse'`` runs only the right-to-left truncating sweep per
+    ``final_sweeps`` iteration: the zip leaves the chain left-canonical, so
+    that single sweep already truncates in canonical gauge (the forward
+    sweep of the 'full' cycle mostly re-orthogonalizes for the NEXT reverse
+    pass, which a following fold iteration's zip redoes anyway). This halves
+    the polish cost inside layer folds; reverse sweeps also leave valid data
+    in the leading block, so the closing slice stays exact.
     """
     n, chiA, chiB = A.n, A.chi, B.chi
     dtype = jnp.result_type(A.dtype, B.dtype)
@@ -256,12 +265,13 @@ def _compose_fused(
         cores4, ranks = _two_site_sweep(
             cores4, ranks, cutoff=cutoff, maxdim=maxdim, reverse=True
         )
-        cores4, ranks = _two_site_sweep(
-            cores4, ranks, cutoff=cutoff, maxdim=maxdim, reverse=False
-        )
+        if polish == "full":
+            cores4, ranks = _two_site_sweep(
+                cores4, ranks, cutoff=cutoff, maxdim=maxdim, reverse=False
+            )
     if chi_work > chi_out:
-        # exact: the final forward sweep left ranks <= maxdim <= chi_out with
-        # valid data in the leading block
+        # exact: the final truncating sweep left ranks <= maxdim <= chi_out
+        # with valid data in the leading block
         cores4 = cores4[:, :chi_out, :, :chi_out]
     return MPO(cores=cores4.reshape(n, chi_out, 2, 2, chi_out), ranks=ranks)
 
@@ -276,6 +286,7 @@ def compose_layers(
     maxdim: int,
     final_sweeps: int = 1,
     chi_work: int | None = None,
+    polish: str = "full",
 ) -> MPO:
     """Fold a stack of layer MPOs into ``acc``: result = layer_L ∘ ... ∘
     layer_1 ∘ acc, via one ``lax.scan`` whose body is the fused zip-up
@@ -306,6 +317,7 @@ def compose_layers(
             maxdim=maxdim,
             final_sweeps=final_sweeps,
             chi_work=chi_work,
+            polish=polish,
         )
         return (out.cores, out.ranks), None
 
@@ -322,6 +334,34 @@ def stack_layers(layers) -> tuple[jax.Array, jax.Array]:
     cores = jnp.stack([c.cores for c in chains], axis=0)
     ranks = jnp.stack([c.ranks for c in chains], axis=0)
     return cores, ranks
+
+
+def pair_layer_stack(layers) -> tuple[jax.Array, jax.Array]:
+    """Exactly compose adjacent layer pairs and stack the results:
+    pair i = layer_{2i+1} ∘ layer_{2i}, so folding the pair stack in order
+    equals folding the original list — with HALF the sequential fold
+    iterations. The pairing itself is one batched einsum (no truncation;
+    pair bond = chi_l^2, small for the chi_l <= 8 gate layers), so the
+    entire halving is a single MXU program. An odd tail layer is paired
+    with the identity.
+
+    Returns ``(cores [ceil(L/2), n, chi_l^2, 2, 2, chi_l^2],
+    ranks [ceil(L/2), n+1])`` for :func:`compose_layers`.
+    """
+    chains = [_mpo_chain(l) for l in layers]
+    if len(chains) % 2:
+        n, chi_l = chains[0].n, chains[0].chi
+        eye = jnp.zeros((n, chi_l, 2, 2, chi_l), dtype=chains[0].dtype)
+        eye = eye.at[:, 0, 0, 0, 0].set(1.0).at[:, 0, 1, 1, 0].set(1.0)
+        chains.append(MPO(cores=eye, ranks=jnp.ones((n + 1,), jnp.int32)))
+    Ac = jnp.stack([c.cores for c in chains[0::2]], axis=0)  # acts first
+    Bc = jnp.stack([c.cores for c in chains[1::2]], axis=0)
+    P, n, chi_l = Ac.shape[0], Ac.shape[1], Ac.shape[2]
+    out = jnp.einsum("pnbotc,pnatid->pnbaoicd", Bc, Ac)
+    out = out.reshape(P, n, chi_l * chi_l, 2, 2, chi_l * chi_l)
+    ranksA = jnp.stack([c.ranks for c in chains[0::2]], axis=0)
+    ranksB = jnp.stack([c.ranks for c in chains[1::2]], axis=0)
+    return out, ranksA * ranksB
 
 
 @highest_precision

@@ -80,39 +80,16 @@ def ceigh(H: jax.Array, *, sweeps: int | None = None):
 def csvd(M: jax.Array):
     """Reduced SVD ``M = U diag(s) Vh`` with descending s.
 
-    Native on CPU; complete-Gram-basis route elsewhere (see module
-    docstring). Factor rows/columns whose singular value sits below the
-    working-precision noise floor are zeroed — they carry negligible weight.
+    Native on CPU; complete-Gram-basis route with a graded-Gram refinement
+    pass elsewhere (see ops.truncation._gram_svd for the accuracy analysis).
+    Factor rows/columns whose singular value sits below the working-precision
+    noise floor are zeroed — they carry negligible weight.
     """
     if _native_complex_linalg():
         return jnp.linalg.svd(M, full_matrices=False)
-    a, b = M.shape
-    eps = jnp.finfo(M.real.dtype).eps
-    if a <= b:
-        _, U = _device_eigh(M @ jnp.conj(M.T))  # [a, a] complete basis
-        B = jnp.conj(U.T) @ M  # rows are s_j v_j^H; U @ B == M exactly
-        s = jnp.linalg.norm(B, axis=1)
-        order = jnp.argsort(-s)
-        U = U[:, order]
-        B = B[order]
-        s = s[order]
-        smax = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
-        keep = s > 4.0 * eps * smax
-        inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
-        Vh = B * inv[:, None].astype(M.dtype)
-        return U, s, Vh
-    _, V = _device_eigh(jnp.conj(M.T) @ M)  # [b, b] complete basis
-    B = M @ V  # columns are s_j u_j; B @ V^H == M exactly
-    s = jnp.linalg.norm(B, axis=0)
-    order = jnp.argsort(-s)
-    V = V[:, order]
-    B = B[:, order]
-    s = s[order]
-    smax = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
-    keep = s > 4.0 * eps * smax
-    inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
-    U = B * inv[None, :].astype(M.dtype)
-    return U, s, V.conj().T
+    from qilaplace_tpu.ops.truncation import _gram_svd
+
+    return _gram_svd(M)
 
 
 # ------------------- interleaved-embedding Cholesky QR -----------------------
@@ -205,24 +182,33 @@ def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None,
     the exactly-unitary Jacobi solver on device), so whitening the valid
     block is stable and null directions are masked outright instead of
     being amplified — the failure mode of (shifted) CholeskyQR on the
-    rank-deficient matrices every zip-up/sketch step produces. A second
-    pass restores orthonormality to working precision (the single-pass Gram
-    route inherits the Gram matrix's squared conditioning).
+    rank-deficient matrices every zip-up/sketch step produces. Two
+    Newton-Schulz steps then restore orthonormality to working precision
+    (the single whitening pass inherits the Gram matrix's squared
+    conditioning; see the inline note).
     """
     a, l = Y.shape
     if eps is None:
         eps = float(jnp.finfo(Y.real.dtype).eps)
     tol = eps * l
-    Q, rank = Y, jnp.int32(l)
+    G = Y.conj().T @ Y
+    lam, V = ceigh(G, sweeps=sweeps)  # ascending
+    lam = jnp.maximum(lam.real[::-1], 0.0)
+    V = V[:, ::-1]
+    lam_max = jnp.maximum(lam[0], jnp.finfo(lam.dtype).tiny)
+    keep = lam > tol * lam_max
+    rank = jnp.sum(keep).astype(jnp.int32)
+    inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, lam, 1.0)), 0.0)
+    Q = Y @ (V * inv_sqrt[None, :].astype(V.dtype))
+    Q = jnp.where(keep[None, :], Q, 0.0)
+    # Second pass: the whitened block's orthonormality defect E = Q^H Q - I
+    # is O(eps * kappa(valid block)^2) <= O(1/l) by the mask threshold, so
+    # two Newton-Schulz steps Q <- Q (3I - Q^H Q)/2 (quadratic: E -> E^2)
+    # reach working precision at the cost of four matmuls — replacing the
+    # second full eigensolve of the previous two-pass scheme. Masked columns
+    # are exact zeros and stay exact zeros under right-multiplication.
+    eye = jnp.eye(l, dtype=Q.dtype)
     for _ in range(2):
-        G = Q.conj().T @ Q
-        lam, V = ceigh(G, sweeps=sweeps)  # ascending
-        lam = jnp.maximum(lam.real[::-1], 0.0)
-        V = V[:, ::-1]
-        lam_max = jnp.maximum(lam[0], jnp.finfo(lam.dtype).tiny)
-        keep = lam > tol * lam_max
-        rank = jnp.sum(keep).astype(jnp.int32)
-        inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, lam, 1.0)), 0.0)
-        Q = Q @ (V * inv_sqrt[None, :].astype(V.dtype))
-        Q = jnp.where(keep[None, :], Q, 0.0)
+        Q = Q @ (1.5 * eye - 0.5 * (Q.conj().T @ Q))
+    Q = jnp.where(keep[None, :], Q, 0.0)
     return Q, rank

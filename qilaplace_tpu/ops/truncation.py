@@ -75,14 +75,41 @@ def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
-def _gram_svd(M: jax.Array, sweeps: int | None = None):
-    """Complete-Gram SVD on the device path (same construction as
-    complexlinalg.csvd but via _device_eigh unconditionally)."""
+# Second-pass (graded-Gram refinement) sweep count — see _gram_svd.
+POLISH_SWEEPS = 4
+
+
+def _gram_svd(M: jax.Array, sweeps: int | None = None,
+              polish: int = POLISH_SWEEPS):
+    """Complete-Gram SVD on the device path, with a graded-Gram refinement
+    pass for LINEAR (not squared) truncation accuracy.
+
+    Pass 1: U = complete eigenbasis of the small-side Gram (M M^H). This
+    factorization M = U (U^H M) is exact for ANY unitary U, but U's columns
+    for singular values below sqrt(eps)*s_max are noise — the Gram's entries
+    are uniformly O(s_max^2), so small values drown (squared conditioning).
+
+    Pass 2: the rows of B = U^H M are already near the singular directions,
+    so their fresh Gram B B^H is GRADED — entry (p, q) is computed to
+    eps * s_p * s_q absolute accuracy. Jacobi eigensolvers determine the
+    eigenvalues of such scaled matrices to high RELATIVE accuracy
+    (Demmel-Veselic), so one more eigh pass drops the singular-value noise
+    floor from sqrt(eps)*s_max to ~eps*s_max. Measured on a 1..1e-8 f32
+    spectrum [160, 1024]: truncation-reconstruction error at cutoff 1e-7
+    falls from 7.3e-4 (2.4x ideal) to the ideal 3.0e-4, and the floor
+    singular values improve ~30x (scripts/acc_experiment.py). This replaces
+    the LAPACK-grade accuracy of the reference's truncations
+    (reference src/linalg/rsvd.jl:97-111) on the device.
+    """
     a, b = M.shape
     eps = jnp.finfo(M.real.dtype).eps
     if a <= b:
         _, U = _device_eigh(M @ jnp.conj(M.T), sweeps=sweeps)
         B = jnp.conj(U.T) @ M
+        if polish:
+            _, V2 = _device_eigh(B @ jnp.conj(B.T), sweeps=polish)
+            U = U @ V2
+            B = jnp.conj(V2.T) @ B
         s = jnp.linalg.norm(B, axis=1)
         order = jnp.argsort(-s)
         U, B, s = U[:, order], B[order], s[order]
@@ -92,6 +119,10 @@ def _gram_svd(M: jax.Array, sweeps: int | None = None):
         return U, s, B * inv[:, None].astype(M.dtype)
     _, V = _device_eigh(jnp.conj(M.T) @ M, sweeps=sweeps)
     B = M @ V
+    if polish:
+        _, W2 = _device_eigh(jnp.conj(B.T) @ B, sweeps=polish)
+        V = V @ W2
+        B = B @ W2
     s = jnp.linalg.norm(B, axis=0)
     order = jnp.argsort(-s)
     V, B, s = V[:, order], B[:, order], s[order]

@@ -85,45 +85,65 @@ def _tt_svd(x, n: int, *, cutoff: float, maxdim: int):
 
 
 def _tt_rsvd(x, n: int, key, *, cutoff: float, maxdim: int, k: int, p: int, q: int):
-    """Divide-and-conquer randomized TT decomposition.
+    """Divide-and-conquer randomized TT decomposition, level-vmapped.
 
     Splits at the middle bond via one rsvd call and recurses on both halves
-    (reference compress_tt!, SignalConverters.jl:145-186). Static shapes per
-    tree node; the root split's range-finder GEMM touches the whole signal
-    once.
+    (reference compress_tt!, SignalConverters.jl:145-186). The tree is
+    processed LEVEL BY LEVEL with same-shape sibling nodes batched into one
+    vmapped rsvd call: the 2^d independent splits at depth d cost one
+    latency instead of 2^d (the eigensolve latency, not FLOPs, dominates on
+    the device) — the sequential chain shrinks from 2^ceil(log2 n)-1 ~ 2n
+    node latencies to ~2 log2(n) group latencies. Shapes are grouped
+    exactly, so padding never inflates the big near-root tensors.
     """
     cores: list = [None] * n
     ranks: list = [None] * (n + 1)
     ranks[0] = jnp.int32(1)
     ranks[n] = jnp.int32(1)
+    kp_cap = k + p
 
-    def bond_dim(nsites_left, nsites_right, bl, br):
-        full_l = bl * 2**nsites_left
-        full_r = 2**nsites_right * br
-        return min(maxdim, k + p, full_l, full_r)
+    nodes = [(x.reshape(1, 2**n, 1), 0, n - 1)]
+    while nodes:
+        next_nodes: list = []
+        groups: dict = {}
+        for node in nodes:
+            T, first, last = node
+            if first == last:
+                cores[first] = T  # [bl, 2, br]
+                continue
+            groups.setdefault(T.shape, []).append(node)
+        for shape, grp in groups.items():
+            bl, _, br = shape
+            span = grp[0][2] - grp[0][1] + 1
+            nl = span // 2
+            nr = span - nl
+            bd = min(maxdim, kp_cap, bl * 2**nl, 2**nr * br)
 
-    def go(T, first, last, node_key):
-        # T: [bl, 2**(last-first+1), br]
-        if first == last:
-            cores[first] = T  # [bl, 2, br]
-            return
-        mid = (first + last - 1) // 2
-        bl, _, br = T.shape
-        n_left = mid - first + 1
-        n_right = last - mid
-        M = T.reshape(bl * 2**n_left, 2**n_right * br)
-        bd = bond_dim(n_left, n_right, bl, br)
-        kl, kr, kh = jax.random.split(node_key, 3)
-        U, s, Vh, rank = rsvd(
-            M, kh, k=k, p=p, q=q, cutoff=cutoff, maxdim=bd, out_dim=bd
-        )
-        ranks[mid + 1] = rank
-        T_left = U.reshape(bl, 2**n_left, bd)
-        T_right = (s[:, None] * Vh).reshape(bd, 2**n_right, br)
-        go(T_left, first, mid, kl)
-        go(T_right, mid + 1, last, kr)
+            def split_one(M, node_key):
+                return rsvd(M, node_key, k=k, p=p, q=q, cutoff=cutoff,
+                            maxdim=bd, out_dim=bd)
 
-    go(x.reshape(1, 2**n, 1), 0, n - 1, key)
+            keys = jnp.stack(
+                [jax.random.fold_in(key, first) for _, first, _ in grp]
+            )
+            if len(grp) == 1:
+                T0 = grp[0][0].reshape(bl * 2**nl, 2**nr * br)
+                U, s, Vh, rank = split_one(T0, keys[0])
+                U, s, Vh, rank = U[None], s[None], Vh[None], rank[None]
+            else:
+                Ms = jnp.stack(
+                    [T.reshape(bl * 2**nl, 2**nr * br) for T, _, _ in grp]
+                )
+                U, s, Vh, rank = jax.vmap(split_one)(Ms, keys)
+            for i, (_, first, last) in enumerate(grp):
+                mid = first + nl - 1
+                ranks[mid + 1] = rank[i]
+                next_nodes.append((U[i].reshape(bl, 2**nl, bd), first, mid))
+                next_nodes.append(
+                    ((s[i][:, None] * Vh[i]).reshape(bd, 2**nr, br),
+                     mid + 1, last)
+                )
+        nodes = next_nodes
     return cores, ranks
 
 

@@ -28,7 +28,12 @@ from qilaplace_tpu.circuits.dt_gates import (
     control_damping_mpo,
 )
 from qilaplace_tpu.core.mpo import PairedSiteMPO, identity_mpo, mpo_repad
-from qilaplace_tpu.ops.apply import compose_layers, embed_window, stack_layers
+from qilaplace_tpu.ops.apply import (
+    compose_layers,
+    embed_window,
+    pair_layer_stack,
+    stack_layers,
+)
 from qilaplace_tpu.utils.config import bucket_for
 
 _STATIC_BUILD_DT_MPO = ("n", "cutoff", "maxdim", "chi", "dtype", "chi_work")
@@ -72,17 +77,19 @@ def build_dt_mpo(
         )
         for k in range(1, n)
     ]
-    layer_cores, layer_ranks = stack_layers(layers)
     # Sequential prefix fold, NOT a balanced tree: only PREFIX products of
     # these gate layers stay at the bond plateau — mid-segment products
     # (e.g. layers 4..8 alone) have large canonical rank, so a log-depth
     # pair tree truncates real weight at any feasible bucket (measured:
     # QFT tree build at n=10 is ~1e0 wrong at chi up to 64 while the
-    # sequential fold is exact to 1e-15). The fold is the same shape as the
+    # sequential fold is exact to 1e-15). ONE exact pairing level is safe
+    # (pair bond = chi_l^2 is kept in full, nothing truncated) and halves
+    # the fold length; the fold is otherwise the same shape as the
     # reference's grow+zip+compress loop (dt_transformer.jl:351-405).
+    layer_cores, layer_ranks = pair_layer_stack(layers)
     acc = identity_mpo(n, chi=chi, dtype=jnp.dtype(dtype), paired=True)
     out = compose_layers(
         acc.chain, layer_cores, layer_ranks, cutoff=cutoff, maxdim=maxdim,
-        chi_work=chi_work,
+        chi_work=chi_work, polish="reverse",
     )
     return PairedSiteMPO(chain=out)
