@@ -128,6 +128,7 @@ def child(n: int, mode: str) -> None:
     from qilaplace_tpu.core.mps import MPS, ZTMPS, coefficient_batch
     from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO
     from qilaplace_tpu.ops.apply import apply
+    from qilaplace_tpu.ops.pallas_kernels import coefficient_batch_pallas
 
     cpu = jax.local_devices(backend="cpu")[0]
     tpu = jax.devices()[0]
@@ -136,15 +137,20 @@ def child(n: int, mode: str) -> None:
     ks, ls, cfg_np = scan_samples(n)
     configs = jax.device_put(cfg_np, tpu)
 
-    # Readout via the batched XLA scan: at B=4096 its warm runtime equals
-    # the fused Pallas kernel's (2.248 s vs 2.248 s measured at n=30, the
-    # apply dominates) and it compiles in ~4 s where the Mosaic kernel
-    # takes ~390 s at n=30 and is NOT held by the persistent compile
-    # cache. chi_grid still routes big scan grids through Pallas.
+    # Apply uses the cap-bound randomized range zip (one eigensolve per
+    # site; ops/truncation.py range_split) — the scan readout runs on the
+    # fused Pallas kernel, now chunked to fixed 32-site/chi VMEM tiles so
+    # ONE Mosaic compile serves every n and the persistent cache holds it
+    # (the round-2 whole-chain kernel took ~390 s to compile at n=30).
+    readout = os.environ.get("BENCH_READOUT", "pallas")
+    read_fn = coefficient_batch_pallas if readout == "pallas" \
+        else coefficient_batch
+
     @jax.jit
     def step(W, psi, configs):
-        out = apply(W, psi, maxdim=CHI, cutoff=CUTOFF, final_sweeps=0)
-        vals = coefficient_batch(out, configs)
+        out = apply(W, psi, maxdim=CHI, cutoff=CUTOFF, final_sweeps=0,
+                    zip_mode="range")
+        vals = read_fn(out, configs)
         return jnp.real(vals), jnp.imag(vals)  # complex is not fetchable
 
     def encode_build():
@@ -192,6 +198,8 @@ def child(n: int, mode: str) -> None:
             parts.append((t_enc, t_build))
         t_enc, t_build = parts[int(np.argsort(times)[len(times) // 2])]
         t_apply = float(np.median(times)) - t_enc - t_build
+        t_ship = 0.0
+        t_build_cache = None
         setup_device = "tpu"
 
     elif mode == "tpu-setup":
@@ -225,6 +233,18 @@ def child(n: int, mode: str) -> None:
         np.asarray(W.chain.ranks)
         t_build = time.perf_counter() - t0
         log(f"build {t_build:.2f}s")
+        # artifact-cache warm build: save once, time a load+ship — the
+        # production path for repeated (n, wr, chi, cutoff) configurations
+        from qilaplace_tpu.utils import io as qio
+
+        cache_path = os.environ["BENCH_STATE"] + ".mpo.npz"
+        qio.save(cache_path, W)
+        t0 = time.perf_counter()
+        W2 = qio.load(cache_path)
+        np.asarray(W2.chain.ranks)
+        t_build_cache = time.perf_counter() - t0
+        del W2
+        log(f"build via artifact cache {t_build_cache:.2f}s")
         state = dict(
             psi_host,
             W_re=np.asarray(jnp.real(W.chain.cores)),
@@ -232,6 +252,7 @@ def child(n: int, mode: str) -> None:
             W_ranks=np.asarray(W.chain.ranks),
             t_enc=t_enc,
             t_build=t_build,
+            t_build_cache=t_build_cache,
         )
         np.savez(os.environ["BENCH_STATE"], **state)
         print("SETUP_OK", flush=True)
@@ -263,9 +284,10 @@ def child(n: int, mode: str) -> None:
             re, im = step(W, psi, configs)
             re_h, im_h = np.asarray(re), np.asarray(im)
             times.append(time.perf_counter() - t0)
-        t_apply = float(np.median(times)) + t_ship
+        t_apply = float(np.median(times))  # transfer excluded (t_ship)
         t_enc = float(data["t_enc"])
         t_build = float(data["t_build"])
+        t_build_cache = float(data["t_build_cache"])
         setup_device = "tpu"
     else:
         # CPU setup: native LAPACK, pinned default device so the complex
@@ -340,37 +362,37 @@ def child(n: int, mode: str) -> None:
             re, im = step(W, psi, configs)
             re_h, im_h = np.asarray(re), np.asarray(im)
             times.append(time.perf_counter() - t1)
-        t_enc = t_enc + t_ship
         t_apply = float(np.median(times))
+        t_build_cache = None
         setup_device = "cpu"
 
-    t_total = t_enc + t_build + t_apply
+    t_total = t_enc + t_build + t_ship + t_apply
     err, peak = accuracy(n, re_h, im_h, ks, ls)
     mpo_bond = int(np.asarray(W.chain.ranks).max())
     log(
         f"end_to_end {t_total:.3f}s = encode {t_enc:.2f} + build "
-        f"{t_build:.2f} + apply+scan {t_apply:.3f}; |chi| peak {peak:.3e}, "
-        f"max_err_rel_peak {err:.3e}, mpo bond {mpo_bond}"
+        f"{t_build:.2f} + ship {t_ship:.2f} + apply+scan {t_apply:.3f}; "
+        f"|chi| peak {peak:.3e}, max_err_rel_peak {err:.3e}, "
+        f"mpo bond {mpo_bond}"
     )
-    print(
-        json.dumps(
-            {
-                "metric": "zt_end_to_end_chi128_wall_s",
-                "value": round(t_total, 6),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_S / t_total, 2),
-                "n": n,
-                "encode_s": round(t_enc, 4),
-                "build_s": round(t_build, 4),
-                "apply_scan_s": round(t_apply, 6),
-                "max_err_rel_peak": round(err, 8),
-                "mpo_bond": mpo_bond,
-                "setup_device": setup_device,
-                "readout": "scan",
-            }
-        ),
-        flush=True,
-    )
+    out = {
+        "metric": "zt_end_to_end_chi128_wall_s",
+        "value": round(t_total, 6),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / t_total, 2),
+        "n": n,
+        "encode_s": round(t_enc, 4),
+        "build_s": round(t_build, 4),
+        "ship_s": round(t_ship, 4),
+        "apply_scan_s": round(t_apply, 6),
+        "max_err_rel_peak": round(err, 8),
+        "mpo_bond": mpo_bond,
+        "setup_device": setup_device,
+        "readout": readout,
+    }
+    if t_build_cache is not None:
+        out["build_cache_s"] = round(t_build_cache, 4)
+    print(json.dumps(out), flush=True)
 
 
 def _run_child(n, mode, timeout=4500):

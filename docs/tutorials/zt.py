@@ -122,3 +122,51 @@ print(f"fine peak      z = {complex(res.fine.z_peak):.6f}")
 print(f"superfine peak z = {z_hat:.6f}")
 print(f"analytic poles   = {z_analytic[0]:.6f}, {z_analytic[1]:.6f}")
 print("error:", min(abs(z_hat - zp) for zp in z_analytic))
+
+# ## Pole-scan figures
+#
+# The reference tutorial's flagship artifact is the z-plane scatter of
+# |chi| for the three scan stages (docs/src/tutorials/zt.jl:323-340).
+# Each point of a ScanResult grid maps to z = r * exp(i*theta) with
+# r = exp(-wr*k/N), theta = 2*pi*l/N; color = log10 |chi|.
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+_here = (
+    os.path.dirname(os.path.abspath(__file__))
+    if "__file__" in globals()
+    else os.path.join(os.getcwd(), "docs", "tutorials")
+)
+_figdir = os.path.join(_here, "..", "assets", "tutorials")
+os.makedirs(_figdir, exist_ok=True)
+
+fig, axes = plt.subplots(1, 3, figsize=(13.5, 4.2), constrained_layout=True)
+for ax, (stage, label) in zip(
+    axes,
+    [(res.coarse, "coarse (wr = 2pi)"), (res.fine, "fine (wr = 0.5)"),
+     (res.superfine, "superfine (stride 1)")],
+):
+    ks_g = np.asarray(stage.ks, dtype=np.float64)
+    ls_g = np.asarray(stage.ls, dtype=np.float64)
+    r = np.exp(-stage.wr * ks_g / N_big)[:, None]
+    th = (stage.wi * ls_g / N_big)[None, :]
+    zr = (r * np.cos(th)).ravel()
+    zi = (r * np.sin(th)).ravel()
+    mag = np.log10(np.abs(np.asarray(stage.chi)).ravel() + 1e-30)
+    sc = ax.scatter(zr, zi, c=mag, s=4, cmap="viridis")
+    zp = complex(stage.z_peak)
+    ax.plot(zp.real, zp.imag, "r+", ms=12, mew=2, label="peak")
+    for z_an in z_analytic:
+        ax.plot(z_an.real, z_an.imag, "wx", ms=8, mew=1.5)
+    ax.set_title(label)
+    ax.set_xlabel("Re z")
+    ax.set_aspect("equal")
+    fig.colorbar(sc, ax=ax, label="log10 |chi|", shrink=0.85)
+axes[0].set_ylabel("Im z")
+fig.suptitle("zT pole scan: coarse -> fine -> superfine (n = 10)")
+fig.savefig(os.path.join(_figdir, "zt_pole_scan.svg"))
+print("figure written to docs/assets/tutorials/zt_pole_scan.svg")

@@ -30,7 +30,7 @@ from qilaplace_tpu.core.mps import (
     _sweep_right,
     _two_site_sweep,
 )
-from qilaplace_tpu.ops.truncation import svd_split
+from qilaplace_tpu.ops.truncation import range_split, sketch_matrix, svd_split
 from qilaplace_tpu.utils.config import highest_precision
 
 
@@ -59,6 +59,7 @@ def _apply_fused(
     chi_out: int | None = None,
     final_sweeps: int = 1,
     chi_work: int | None = None,
+    zip_mode: str = "svd",
 ) -> MPS:
     """Zip-up apply: contract site, truncate, carry the remainder.
 
@@ -90,16 +91,27 @@ def _apply_fused(
     # the zip inherits the polish cutoff's factorization profile
     fast = isinstance(cutoff, (int, float)) and 0.0 < cutoff and cutoff >= 1e-10
     C0 = jnp.zeros((chi_work, chiW, chiS), dtype=dtype).at[0, 0, 0].set(1.0)
+    if zip_mode == "range":
+        # cap-bound zip: one shared Gaussian sketch, one eigensolve per site
+        # (see ops.truncation.range_split). The per-site cutoff rule is not
+        # applied (rank rides the cap) — the polish sweeps, if any, apply it
+        # canonically.
+        om = sketch_matrix(jax.random.PRNGKey(1234), chiW * chiS, chi_work,
+                           dtype)
 
     def step(carry, inp):
         C, _ = carry
         Wcore, Acore = inp
         T = jnp.einsum("xab,aoic,bid->xocd", C, Wcore, Acore)
         M = T.reshape(chi_work * 2, chiW * chiS)
-        L, R, rank = svd_split(
-            M, cutoff=cutoff, maxdim=chi_work, absorb="right",
-            out_dim=chi_work, fast=fast or None,
-        )
+        if zip_mode == "range":
+            L, R, rank = range_split(M, om)
+            rank = jnp.minimum(rank, jnp.int32(maxdim))
+        else:
+            L, R, rank = svd_split(
+                M, cutoff=cutoff, maxdim=chi_work, absorb="right",
+                out_dim=chi_work, fast=fast or None,
+            )
         core = L.reshape(chi_work, 2, chi_work)
         return (R.reshape(chi_work, chiW, chiS), rank), (core, rank)
 
@@ -148,13 +160,17 @@ def apply(
     chi_out: int | None = None,
     final_sweeps: int = 1,
     chi_work: int | None = None,
+    zip_mode: str = "svd",
 ):
     """Apply an MPO to an MPS (or ZTMPS with a PairedSiteMPO).
 
     Without ``maxdim``/``cutoff``: exact, untruncated (reference semantics).
     With them: fused contract-then-truncate sweep (TPU performance path);
     ``chi_work`` > ``chi_out`` trades ~2x zip FLOPs for exact-apply-level
-    accuracy (see :func:`_apply_fused`).
+    accuracy (see :func:`_apply_fused`). ``zip_mode='range'`` replaces the
+    per-site truncated SVD with the cap-only randomized range split
+    (ops.truncation.range_split) — the fast path for magnitude scans where
+    the output bond rides the cap anyway.
     """
     Wm = _mpo_chain(W)
     pm = _chain(psi)
@@ -173,6 +189,7 @@ def apply(
             chi_out=chi_out,
             final_sweeps=final_sweeps,
             chi_work=chi_work,
+            zip_mode=zip_mode,
         )
     return _rewrap(psi, res)
 
@@ -188,6 +205,7 @@ def _compose_fused(
     final_sweeps: int = 1,
     chi_work: int | None = None,
     polish: str = "full",
+    zip_mode: str = "svd",
 ) -> MPO:
     """Zip-up composition B ∘ A with mask-truncation.
 
@@ -231,16 +249,23 @@ def _compose_fused(
     # profile of the real cutoff applied by the polish
     fast = isinstance(cutoff, (int, float)) and 0.0 < cutoff and cutoff >= 1e-10
     C0 = jnp.zeros((chi_work, chiB, chiA), dtype=dtype).at[0, 0, 0].set(1.0)
+    if zip_mode == "range":
+        om = sketch_matrix(jax.random.PRNGKey(1234), chiB * chiA, chi_work,
+                           dtype)
 
     def step(carry, inp):
         C, _ = carry
         Bcore, Acore = inp
         T = jnp.einsum("xba,botc,atid->xoicd", C, Bcore, Acore)
         M = T.reshape(chi_work * 4, chiB * chiA)
-        L, R, rank = svd_split(
-            M, cutoff=0.0, maxdim=zip_maxdim, absorb="right",
-            out_dim=chi_work, fast=fast or None,
-        )
+        if zip_mode == "range":
+            L, R, rank = range_split(M, om)
+            rank = jnp.minimum(rank, jnp.int32(zip_maxdim))
+        else:
+            L, R, rank = svd_split(
+                M, cutoff=0.0, maxdim=zip_maxdim, absorb="right",
+                out_dim=chi_work, fast=fast or None,
+            )
         return (R.reshape(chi_work, chiB, chiA), rank), (
             L.reshape(chi_work, 4, chi_work),
             rank,
@@ -287,6 +312,7 @@ def compose_layers(
     final_sweeps: int = 1,
     chi_work: int | None = None,
     polish: str = "full",
+    zip_mode: str = "svd",
 ) -> MPO:
     """Fold a stack of layer MPOs into ``acc``: result = layer_L ∘ ... ∘
     layer_1 ∘ acc, via one ``lax.scan`` whose body is the fused zip-up
@@ -318,6 +344,7 @@ def compose_layers(
             final_sweeps=final_sweeps,
             chi_work=chi_work,
             polish=polish,
+            zip_mode=zip_mode,
         )
         return (out.cores, out.ranks), None
 
@@ -376,6 +403,8 @@ def apply_mpo_mpo(
     final_sweeps: int = 1,
     chi_work: int | None = None,
     offset: int | None = None,
+    polish: str = "full",
+    zip_mode: str = "svd",
 ):
     """Compose two MPOs: result = W2 after W1 (W1 acts first).
 
@@ -434,6 +463,8 @@ def apply_mpo_mpo(
             maxdim=maxdim if maxdim is not None else chi_out,
             final_sweeps=final_sweeps,
             chi_work=chi_work,
+            polish=polish,
+            zip_mode=zip_mode,
         )
     return PairedSiteMPO(chain=res) if paired else res
 

@@ -173,7 +173,7 @@ def chol_qr(Y: jax.Array, *, passes: int = 2, shift: float | None = None):
 
 @highest_precision
 def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None,
-                        sweeps: int | None = None):
+                        sweeps: int | None = None, ns_steps: int = 2):
     """Orthonormal basis of range(Y) via the Gram eigendecomposition,
     padding- and rank-deficiency-safe.
 
@@ -208,7 +208,7 @@ def gram_orthonormalize(Y: jax.Array, *, eps: float | None = None,
     # second full eigensolve of the previous two-pass scheme. Masked columns
     # are exact zeros and stay exact zeros under right-multiplication.
     eye = jnp.eye(l, dtype=Q.dtype)
-    for _ in range(2):
+    for _ in range(ns_steps):
         Q = Q @ (1.5 * eye - 0.5 * (Q.conj().T @ Q))
     Q = jnp.where(keep[None, :], Q, 0.0)
     return Q, rank

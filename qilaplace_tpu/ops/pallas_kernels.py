@@ -1,12 +1,20 @@
 """Pallas TPU kernels for the hot readout path.
 
-``coefficient_batch_pallas`` fuses the whole pole-scan readout chain — for
-every configuration row, n bit-selected chi x chi matvecs — into one kernel:
-the running vectors stay in VMEM across all sites (the jnp/lax.scan version
-round-trips the [B, chi] intermediate through HBM at every site), and the
-per-site work is 8 real [TILE_B, chi] @ [chi, chi] MXU matmuls (complex
-arithmetic in split real/imag form; the TPU backend has no complex Pallas
-support).
+``coefficient_batch_pallas`` fuses the pole-scan readout chain — for every
+configuration row, n bit-selected chi x chi matvecs — into fixed-shape
+kernels: the running vectors stay in VMEM across all sites of a chunk (the
+jnp/lax.scan version round-trips the [B, chi] intermediate through HBM at
+every site), and the per-site work is 8 real [TILE_B, chi] @ [chi, chi] MXU
+matmuls (complex arithmetic in split real/imag form; the TPU backend has no
+complex Pallas support).
+
+Chains are processed in SITE_CHUNK-site chunks with the [B, chi] running
+vector carried between kernel calls: a chunk's core stack is
+SITE_CHUNK * chi^2 * 2 * 4 bytes (8.4 MB at chi=128) and fits VMEM, where
+the round-1 whole-chain kernel (31 MB at n=30) over-subscribed it and took
+~390 s to compile. Chains are padded to a chunk multiple with identity
+cores, so ONE Mosaic compile per (chi, TILE_B) serves every n — the
+persistent compile cache then makes cold processes cheap too.
 
 Dots run at HIGHEST precision (f32 multi-pass on the MXU); with default
 bf16 precision the accumulated error over a 60-site chain is ~1e-2
@@ -25,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from qilaplace_tpu.core.mps import ZTMPS
 
 TILE_B = 256
+SITE_CHUNK = 32
 
 
 def _dot(a, b):
@@ -35,14 +44,8 @@ def _dot(a, b):
     )
 
 
-def _kernel(bits_ref, cr_ref, ci_ref, outr_ref, outi_ref):
-    n, chi = cr_ref.shape[0], cr_ref.shape[1]
-    tile = outr_ref.shape[0]
-
-    # boundary vector e0 per row (scatter/.at[].set does not lower in Pallas)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile, chi), 1)
-    vr0 = jnp.where(col == 0, 1.0, 0.0).astype(jnp.float32)
-    vi0 = jnp.zeros((tile, chi), jnp.float32)
+def _kernel(bits_ref, cr_ref, ci_ref, vr_in, vi_in, outr_ref, outi_ref):
+    n = cr_ref.shape[0]
 
     bits_all = bits_ref[:]  # [tile, n] loaded once
     lane = jax.lax.broadcasted_iota(jnp.int32, bits_all.shape, 1)
@@ -66,7 +69,7 @@ def _kernel(bits_ref, cr_ref, ci_ref, outr_ref, outi_ref):
         sel = bcol == 0
         return jnp.where(sel, y0r, y1r), jnp.where(sel, y0i, y1i)
 
-    vr, vi = jax.lax.fori_loop(0, n, body, (vr0, vi0))
+    vr, vi = jax.lax.fori_loop(0, n, body, (vr_in[:], vi_in[:]))
     outr_ref[:] = vr
     outi_ref[:] = vi
 
@@ -76,43 +79,63 @@ def coefficient_batch_pallas(psi, configs, *, interpret: bool = False):
     """Pallas-fused batched coefficient readout.
 
     psi: MPS or ZTMPS; configs: [B, n] int. Returns [B] complex amplitudes.
-    Requires n * chi^2 * 8 bytes of VMEM for the core stack (n <= 60 at
-    chi = 128 fits); fall back to core.mps.coefficient_batch beyond that.
+    Chains longer than SITE_CHUNK are processed in chunks with the running
+    vector carried through; the final chunk is identity-padded, so every
+    (chi, TILE_B) pair compiles exactly one Mosaic kernel.
     """
     m = psi.chain if isinstance(psi, ZTMPS) else psi
     n, chi = m.n, m.chi
     configs = jnp.asarray(configs, jnp.int32)
     B = configs.shape[0]
-    pad = (-B) % TILE_B
-    bits = jnp.pad(configs, ((0, pad), (0, 0)))  # [B_pad, n]
-    B_pad = B + pad
+    pad_b = (-B) % TILE_B
+    pad_n = (-n) % SITE_CHUNK
+    bits = jnp.pad(configs, ((0, pad_b), (0, pad_n)))  # [B_pad, n_pad]
+    B_pad = B + pad_b
+    n_pad = n + pad_n
 
     cr = jnp.real(m.cores).astype(jnp.float32)
     ci = jnp.imag(m.cores).astype(jnp.float32)
+    if pad_n:
+        eye = jnp.broadcast_to(
+            jnp.eye(chi, dtype=jnp.float32)[None, :, None, :],
+            (pad_n, chi, 2, chi),
+        )
+        cr = jnp.concatenate([cr, eye], axis=0)
+        ci = jnp.pad(ci, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
 
     grid = (B_pad // TILE_B,)
-    outr, outi = pl.pallas_call(
-        _kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_B, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, chi, 2, chi), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, chi, 2, chi), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((TILE_B, chi), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, chi), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B_pad, chi), jnp.float32),
-            jax.ShapeDtypeStruct((B_pad, chi), jnp.float32),
-        ),
-        interpret=interpret,
-    )(bits, cr, ci)
+    vec_spec = pl.BlockSpec((TILE_B, chi), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col = jnp.arange(chi)
+    vr = jnp.broadcast_to(
+        jnp.where(col == 0, 1.0, 0.0).astype(jnp.float32), (B_pad, chi)
+    )
+    vi = jnp.zeros((B_pad, chi), jnp.float32)
 
-    vals = (outr[:B, 0] + 1j * outi[:B, 0]).astype(jnp.complex64)
+    for c in range(n_pad // SITE_CHUNK):
+        sl = slice(c * SITE_CHUNK, (c + 1) * SITE_CHUNK)
+        vr, vi = pl.pallas_call(
+            _kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TILE_B, SITE_CHUNK), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((SITE_CHUNK, chi, 2, chi),
+                             lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((SITE_CHUNK, chi, 2, chi),
+                             lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                vec_spec,
+                vec_spec,
+            ],
+            out_specs=(vec_spec, vec_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B_pad, chi), jnp.float32),
+                jax.ShapeDtypeStruct((B_pad, chi), jnp.float32),
+            ),
+            interpret=interpret,
+        )(bits[:, sl], cr[sl], ci[sl], vr, vi)
+
+    vals = (vr[:B, 0] + 1j * vi[:B, 0]).astype(jnp.complex64)
     return m.amplitude.astype(jnp.complex64) * vals

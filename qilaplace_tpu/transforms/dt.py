@@ -82,14 +82,17 @@ def build_dt_mpo(
     # (e.g. layers 4..8 alone) have large canonical rank, so a log-depth
     # pair tree truncates real weight at any feasible bucket (measured:
     # QFT tree build at n=10 is ~1e0 wrong at chi up to 64 while the
-    # sequential fold is exact to 1e-15). ONE exact pairing level is safe
-    # (pair bond = chi_l^2 is kept in full, nothing truncated) and halves
-    # the fold length; the fold is otherwise the same shape as the
-    # reference's grow+zip+compress loop (dt_transformer.jl:351-405).
-    layer_cores, layer_ranks = pair_layer_stack(layers)
+    # sequential fold is exact to 1e-15). Pairing adjacent layers is lossy
+    # for the same reason at ONE level already: the zip capacity must cover
+    # rank_acc * rank_layer, and pairing squares rank_layer (measured zT
+    # plateau 75 vs 89 with paired folds at capacity 2*chi). The fold is
+    # the same shape as the reference's grow+zip+compress loop
+    # (dt_transformer.jl:351-405).
+    layer_cores, layer_ranks = stack_layers(layers)
     acc = identity_mpo(n, chi=chi, dtype=jnp.dtype(dtype), paired=True)
     out = compose_layers(
         acc.chain, layer_cores, layer_ranks, cutoff=cutoff, maxdim=maxdim,
         chi_work=chi_work, polish="reverse",
+        zip_mode="range" if cutoff >= 1e-10 else "svd",
     )
     return PairedSiteMPO(chain=out)

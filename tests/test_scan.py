@@ -89,11 +89,8 @@ import os as _os
 import pytest as _pytest
 
 
-@_pytest.mark.skipif(
-    _os.environ.get("QILAPLACE_PARITY_FULL", "") != "1",
-    reason="n=20 flagship scan is minutes-long; set QILAPLACE_PARITY_FULL=1",
-)
 def test_coarse_to_fine_pole_search_n20():
+    # flagship n=20 coarse-to-fine search in the DEFAULT gate (verdict #6)
     # Reference-scale flagship run (docs/src/tutorials/zt.jl:250-268,
     # 296-411): n=20, chi=128, damped oscillation with the tutorial's pole
     # z+ ~ 0.99984 + 0.00408i; the coarse (wr=2pi) -> fine (wr=0.5) ->
