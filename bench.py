@@ -44,10 +44,7 @@ import time
 BASELINE_S = 20.036
 CHI = 128
 N_SCAN = 4096
-# 1e-7 relative-squared: accuracy-optimal for the c64 device pipeline
-# (tighter cutoffs keep MORE ranks whose c64 zip-truncation noise then
-# dominates: measured n=14 err 2.2e-2 at 1e-7 vs 6.8e-2..0.10 at 1e-9)
-CUTOFF = 1e-7
+CUTOFF = float(os.environ.get("BENCH_CUTOFF", "1e-9"))
 WR = 2 * 3.141592653589793
 FREQ, DECAY = 2.0, 0.5
 
@@ -127,7 +124,7 @@ def child(n: int, mode: str) -> None:
     from qilaplace_tpu import build_zt_mpo, generate_signal, signal_ztmps
     from qilaplace_tpu.core.mps import MPS, ZTMPS, coefficient_batch
     from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO
-    from qilaplace_tpu.ops.apply import apply
+    from qilaplace_tpu.ops.apply import apply, apply_coefficient_batch
     from qilaplace_tpu.ops.pallas_kernels import coefficient_batch_pallas
 
     cpu = jax.local_devices(backend="cpu")[0]
@@ -142,16 +139,28 @@ def child(n: int, mode: str) -> None:
     # fused Pallas kernel, now chunked to fixed 32-site/chi VMEM tiles so
     # ONE Mosaic compile serves every n and the persistent cache holds it
     # (the round-2 whole-chain kernel took ~390 s to compile at n=30).
-    readout = os.environ.get("BENCH_READOUT", "pallas")
-    read_fn = coefficient_batch_pallas if readout == "pallas" \
-        else coefficient_batch
+    # "direct" (default) skips the intermediate truncated product entirely:
+    # <config| W |psi> zipper per scan point (ops/apply.py
+    # apply_coefficient_batch) — the apply-then-read routes inherit an
+    # eps*||W psi||/peak relative floor (~1e-1 at n=30 in f32) that the
+    # direct contraction does not have.
+    readout = os.environ.get("BENCH_READOUT", "direct")
 
-    @jax.jit
-    def step(W, psi, configs):
-        out = apply(W, psi, maxdim=CHI, cutoff=CUTOFF, final_sweeps=0,
-                    zip_mode="range")
-        vals = read_fn(out, configs)
-        return jnp.real(vals), jnp.imag(vals)  # complex is not fetchable
+    if readout == "direct":
+        @jax.jit
+        def step(W, psi, configs):
+            vals = apply_coefficient_batch(W, psi, configs)
+            return jnp.real(vals), jnp.imag(vals)
+    else:
+        read_fn = coefficient_batch_pallas if readout == "pallas" \
+            else coefficient_batch
+
+        @jax.jit
+        def step(W, psi, configs):
+            out = apply(W, psi, maxdim=CHI, cutoff=CUTOFF, final_sweeps=0,
+                        zip_mode="range")
+            vals = read_fn(out, configs)
+            return jnp.real(vals), jnp.imag(vals)  # complex not fetchable
 
     def encode_build():
         # Stage boundaries are FETCH-synced (np.asarray of the int32 ranks,

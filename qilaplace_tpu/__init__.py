@@ -42,7 +42,7 @@ from qilaplace_tpu.core.mpo import (
     identity_mpo,
     mpo_to_dense,
 )
-from qilaplace_tpu.ops.apply import apply, apply_mpo_mpo
+from qilaplace_tpu.ops.apply import apply, apply_coefficient_batch, apply_mpo_mpo
 from qilaplace_tpu.ops.rsvd import rsvd
 from qilaplace_tpu.signals.generate import generate_signal
 from qilaplace_tpu.signals.encode import signal_mps, signal_ztmps
@@ -79,6 +79,7 @@ __all__ = [
     "identity_mpo",
     "mpo_to_dense",
     "apply",
+    "apply_coefficient_batch",
     "apply_mpo_mpo",
     "rsvd",
     "generate_signal",

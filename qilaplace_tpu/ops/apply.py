@@ -517,6 +517,56 @@ def embed_window(W, n_total: int, start: int):
     return PairedSiteMPO(chain=out) if isinstance(W, PairedSiteMPO) else out
 
 
+@highest_precision
+def apply_coefficient_batch(W, psi, configs) -> jax.Array:
+    """Batched ``<config| W |psi>`` WITHOUT forming the truncated product.
+
+    The pole-scan readout of ``coefficient_batch(apply(W, psi), cfg)``
+    inherits the apply's truncation arithmetic, whose roundoff lives at the
+    STATE-NORM scale (~eps * ||W psi||) — while the scanned coefficients
+    near a pole sit orders of magnitude below the norm, so in f32 the
+    relative-to-peak error floors at ~1e-2 (measured at n=14; the rel-peak
+    floor is eps * ||out|| / peak). A direct zipper contraction of the
+    elementary bra, the operator, and the state keeps the roundoff RELATIVE
+    to the running path product instead (measured: rounding f64-built W/psi
+    cores to f32 does not degrade the scanned coefficients at all), which is
+    the TPU-native route to reference-grade scan accuracy in f32 —
+    reference tutorials read coefficients off the f64 product state
+    (docs/src/tutorials/zt.jl:307-316), where the same floor sits at
+    eps_f64 * norm/peak and is invisible.
+
+    ``configs`` is [B, n] output bits (site 1 = MSB, same convention as
+    :func:`~qilaplace_tpu.core.mps.coefficient_batch`). Cost per site is
+    four [B*chi_p, chi_w] x [chi_w, chi_w] class GEMMs — one `lax.scan` of
+    batched MXU matmuls; repad W/psi to tight bond buckets first when the
+    caps are much larger than the actual ranks.
+    """
+    wm = _mpo_chain(W)
+    pm = _chain(psi)
+    configs = jnp.asarray(configs)
+    B = configs.shape[0]
+    cw, cp = wm.chi, pm.chi
+    dtype = jnp.result_type(wm.dtype, pm.dtype)
+    v0 = jnp.zeros((B, cw, cp), dtype=dtype).at[:, 0, 0].set(1.0)
+
+    def step(v, inp):
+        Wc, pc, bits = inp  # [cw,2,2,cw], [cp,2,cp], [B]
+
+        def half(o):
+            acc = None
+            for s in (0, 1):
+                t = jnp.einsum("Bab,aA->BbA", v, Wc[:, o, s, :])
+                u = jnp.einsum("BbA,bc->BAc", t, pc[:, s, :])
+                acc = u if acc is None else acc + u
+            return acc
+
+        v = jnp.where((bits == 0)[:, None, None], half(0), half(1))
+        return v, None
+
+    v, _ = jax.lax.scan(step, v0, (wm.cores, pm.cores, configs.T))
+    return pm.amplitude * v[:, 0, 0]
+
+
 # Operator sugar: W * psi and W1 * W2 (reference src/linalg/apply.jl:233-236).
 # The reference defines *(W1, W2) = apply(W1, W2), where W1's output feeds
 # W2's input — i.e. the product W1 * W2 means W2 ∘ W1. We keep that.

@@ -19,7 +19,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from qilaplace_tpu.ops.complexlinalg import csvd, gram_orthonormalize  # noqa: F401 (re-export)
+from qilaplace_tpu.ops.complexlinalg import (  # noqa: F401 (re-export)
+    _native_complex_linalg,
+    csvd,
+    gram_orthonormalize,
+)
+from qilaplace_tpu.ops.jacobi import fast_sweeps
 from qilaplace_tpu.ops.truncation import truncation_rank
 from qilaplace_tpu.utils.config import highest_precision
 
@@ -46,12 +51,25 @@ def rsvd(
     maxdim defaults to k there and here).
     """
     a, b = M.shape
-    l = min(k + p, a, b)
+    # Sketch width rounded up to a multiple of 8: the device eigensolves on
+    # the [l, l] Gram matrices only take the VMEM-resident Pallas kernel for
+    # EVEN l (ops.complexlinalg._device_eigh) — an odd k+p (e.g. the
+    # reference-default 50+5) would silently fall back to the lax.scan
+    # Jacobi at ~2 ms/round, turning the encode latency-bound.
+    l = min(((k + p + 7) // 8) * 8, a, b)
     if maxdim is None:
         maxdim = k
     if out_dim is None:
         out_dim = min(maxdim, l)
     maxdim = min(maxdim, out_dim, l)
+
+    # Loose truncation budgets tolerate the reduced Jacobi sweep profile
+    # (quadratic convergence puts the residual far below sqrt(cutoff)).
+    sweeps = (
+        fast_sweeps(l)
+        if isinstance(cutoff, (int, float)) and cutoff >= 1e-10 and cutoff > 0
+        else None
+    )
 
     cdtype = M.dtype
     if jnp.issubdtype(cdtype, jnp.complexfloating):
@@ -64,16 +82,24 @@ def rsvd(
         Om = jax.random.normal(key, (b, l), dtype=cdtype)
 
     Y = M @ Om  # [a, l] — the big GEMM
-    Q, _ = gram_orthonormalize(Y)
+    Q, _ = gram_orthonormalize(Y, sweeps=sweeps)
     for _ in range(q):
         Z = M.conj().T @ Q  # [b, l]
-        Qz, _ = gram_orthonormalize(Z)
+        Qz, _ = gram_orthonormalize(Z, sweeps=sweeps)
         Y = M @ Qz
-        Q, _ = gram_orthonormalize(Y)
+        Q, _ = gram_orthonormalize(Y, sweeps=sweeps)
 
     B = Q.conj().T @ M  # [l, b] small
-    Ub, s, Vh = csvd(B)  # l x min(l,b)
-    rank = truncation_rank(s, cutoff, maxdim, mindim)
+    if _native_complex_linalg():
+        Ub, s, Vh = csvd(B)  # native LAPACK
+    else:
+        from qilaplace_tpu.ops.truncation import _gram_svd
+
+        Ub, s, Vh = _gram_svd(B, sweeps=sweeps)  # l x min(l,b)
+    # rank decision floored at the working-precision GEMM noise of the
+    # [l, b] projection (see ops.truncation.truncation_rank)
+    nf = 2.0 * float(jnp.finfo(M.real.dtype).eps) * float(max(a, b)) ** 0.5
+    rank = truncation_rank(s, cutoff, maxdim, mindim, noise_floor=nf)
     kk = s.shape[0]
     keep = jnp.arange(kk) < rank
     s = jnp.where(keep, s, 0.0)

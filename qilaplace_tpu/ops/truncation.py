@@ -44,13 +44,20 @@ from qilaplace_tpu.utils.config import highest_precision
 FAST_CUTOFF = 1e-10
 
 
-def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1, *, total=None) -> jax.Array:
+def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1, *, total=None,
+                    noise_floor=None) -> jax.Array:
     """Number of singular values kept under the relative-squared-cutoff rule.
 
     ``s`` must be non-negative and sorted descending. ``total`` overrides the
     total squared weight (pass ||M||_F^2 when ``s`` only spans a captured
-    subspace, so uncaptured mass counts as discarded). Returns a traced int32
-    in [mindim, min(maxdim, len(s))].
+    subspace, so uncaptured mass counts as discarded). ``noise_floor``
+    (relative to s_max) additionally discards singular values that are
+    indistinguishable from the working precision's GEMM roundoff — in f32
+    a [a, b] product carries ~eps*sqrt(b) noise per projected row, so at
+    tight cutoffs the rule would otherwise keep pure-noise directions and
+    bloat every bond to its cap (measured: flagship encode bond 128 instead
+    of ~4 at cutoff 1e-11). Returns a traced int32 in
+    [mindim, min(maxdim, len(s))].
     """
     p = s * s
     k = s.shape[0]
@@ -67,6 +74,10 @@ def truncation_rank(s: jax.Array, cutoff, maxdim, mindim=1, *, total=None) -> ja
     tail = jnp.concatenate([suffix[1:], jnp.zeros((1,), dtype=p.dtype)])
     ok = (tail + missing) <= cutoff * total
     rank = jnp.where(jnp.any(ok), jnp.argmax(ok) + 1, k)
+    if noise_floor is not None:
+        smax = jnp.maximum(s[0], jnp.finfo(s.dtype).tiny)
+        above = jnp.sum(s > noise_floor * smax).astype(rank.dtype)
+        rank = jnp.minimum(rank, jnp.maximum(above, 1))
     rank = jnp.clip(rank, mindim, jnp.minimum(maxdim, k))
     return rank.astype(jnp.int32)
 
@@ -80,27 +91,32 @@ POLISH_SWEEPS = 4
 
 
 def _gram_svd(M: jax.Array, sweeps: int | None = None,
-              polish: int = POLISH_SWEEPS):
-    """Complete-Gram SVD on the device path, with a graded-Gram refinement
-    pass for LINEAR (not squared) truncation accuracy.
+              polish: int = POLISH_SWEEPS, os_sweeps: int = 0):
+    """Complete-Gram SVD on the device path, with refinement passes for
+    LINEAR (not squared) truncation accuracy.
 
     Pass 1: U = complete eigenbasis of the small-side Gram (M M^H). This
     factorization M = U (U^H M) is exact for ANY unitary U, but U's columns
     for singular values below sqrt(eps)*s_max are noise — the Gram's entries
     are uniformly O(s_max^2), so small values drown (squared conditioning).
 
-    Pass 2: the rows of B = U^H M are already near the singular directions,
-    so their fresh Gram B B^H is GRADED — entry (p, q) is computed to
-    eps * s_p * s_q absolute accuracy. Jacobi eigensolvers determine the
-    eigenvalues of such scaled matrices to high RELATIVE accuracy
-    (Demmel-Veselic), so one more eigh pass drops the singular-value noise
-    floor from sqrt(eps)*s_max to ~eps*s_max. Measured on a 1..1e-8 f32
-    spectrum [160, 1024]: truncation-reconstruction error at cutoff 1e-7
-    falls from 7.3e-4 (2.4x ideal) to the ideal 3.0e-4, and the floor
-    singular values improve ~30x (scripts/acc_experiment.py). This replaces
-    the LAPACK-grade accuracy of the reference's truncations
-    (reference src/linalg/rsvd.jl:97-111) on the device.
+    Pass 2 (``polish`` > 0): the rows of B = U^H M are already near the
+    singular directions, so their fresh Gram B B^H is GRADED — entry (p, q)
+    is computed to eps * s_p * s_q absolute accuracy, and one more eigh pass
+    drops the singular-value noise floor from sqrt(eps)*s_max toward
+    eps*s_max (Demmel-Veselic).
+
+    Pass 3 (``os_sweeps`` > 0): one-sided Jacobi on the ROWS of B
+    (ops.jacobi.onesided_polish). Rotation angles come from fresh row inner
+    products of the CURRENT factor and the singular values are read off as
+    actual row norms, so their relative accuracy is eps-grade independent of
+    how converged the pass-1 eigenbasis was — the TPU-native equivalent of
+    LAPACK's one-sided-Jacobi high-accuracy SVD behind the reference's
+    truncations (reference src/linalg/rsvd.jl:97-111). This is what makes
+    cutoffs below ~1e-9 (relative squared) meaningful in f32.
     """
+    from qilaplace_tpu.ops.jacobi import onesided_polish
+
     a, b = M.shape
     eps = jnp.finfo(M.real.dtype).eps
     if a <= b:
@@ -110,6 +126,9 @@ def _gram_svd(M: jax.Array, sweeps: int | None = None,
             _, V2 = _device_eigh(B @ jnp.conj(B.T), sweeps=polish)
             U = U @ V2
             B = jnp.conj(V2.T) @ B
+        if os_sweeps:
+            J, B = onesided_polish(B, sweeps=os_sweeps)
+            U = U @ J
         s = jnp.linalg.norm(B, axis=1)
         order = jnp.argsort(-s)
         U, B, s = U[:, order], B[order], s[order]
@@ -123,6 +142,10 @@ def _gram_svd(M: jax.Array, sweeps: int | None = None,
         _, W2 = _device_eigh(jnp.conj(B.T) @ B, sweeps=polish)
         V = V @ W2
         B = B @ W2
+    if os_sweeps:
+        J, Bt = onesided_polish(jnp.conj(B.T), sweeps=os_sweeps)
+        V = V @ J
+        B = jnp.conj(Bt.T)
     s = jnp.linalg.norm(B, axis=0)
     order = jnp.argsort(-s)
     V, B, s = V[:, order], B[:, order], s[order]
@@ -133,7 +156,7 @@ def _gram_svd(M: jax.Array, sweeps: int | None = None,
 
 
 def _sketched_svd(M: jax.Array, l: int, power_iters: int,
-                  sweeps: int | None = None):
+                  sweeps: int | None = None, polish: int = POLISH_SWEEPS):
     """Randomized top-l factorization: returns (U [a, l], s [l], Vh [l, b]).
 
     Range finder + Gram orthonormalization + power iteration, then the
@@ -163,7 +186,7 @@ def _sketched_svd(M: jax.Array, l: int, power_iters: int,
         Q, _ = gram_orthonormalize(jnp.conj(M.T) @ Q, sweeps=sweeps)
         Q, _ = gram_orthonormalize(M @ Q, sweeps=sweeps)
     B = jnp.conj(Q.T) @ M  # [l, b]
-    Ub, s, Vh = _gram_svd(B, sweeps=sweeps)
+    Ub, s, Vh = _gram_svd(B, sweeps=sweeps, polish=polish)
     U = Q @ Ub
     if transpose:
         return jnp.conj(Vh.T), s, jnp.conj(U.T)
@@ -186,33 +209,64 @@ def truncated_svd(M: jax.Array, *, cutoff=0.0, maxdim=None, mindim=1,
         maxdim = k
     maxdim = min(maxdim, k)
 
-    # loose budgets run the fast device profile — see FAST_CUTOFF. Callers
-    # whose own cutoff lives elsewhere (e.g. the cutoff-0 zip stage feeding
-    # a loose polish) pass ``fast`` explicitly.
+    # Factorization profiles (see FAST_CUTOFF; callers whose own cutoff
+    # lives elsewhere — e.g. the cutoff-0 zip stage of a fused composition,
+    # which is capacity-bound and needs only an orthonormal basis — pass
+    # ``fast`` explicitly):
+    # * fast (loose cutoffs): fast pass-1 sweeps, 4-sweep graded polish, no
+    #   power iteration.
+    # * tight/f32: fast pass-1 sweeps + a 6-sweep graded polish — measured
+    #   truncation-reconstruction within 2-3x of the ideal tail down to
+    #   cutoff 1e-11 on [320, 1024] graded spectra
+    #   (scripts/probe_gramsvd_tpu.py), at a fraction of the default-sweeps
+    #   cost.
+    # * tight/f64 (the forced-device parity path): deep default sweeps +
+    #   power iteration — wall-clock does not matter there, 1e-8-grade
+    #   parity does.
     if fast is None:
         fast = (
             isinstance(cutoff, (int, float))
             and cutoff >= FAST_CUTOFF
             and cutoff > 0.0
         )
+    f32 = M.real.dtype == jnp.float32
     sweeps = None
     if fast:
         power_iters = 0
+        polish = POLISH_SWEEPS
+    elif f32:
+        power_iters = 0
+        polish = 6
+    else:
+        polish = POLISH_SWEEPS
+
+    # Working-precision noise floor for the rank decision: projections /
+    # Gram formations of an [a, b] matrix carry ~eps*sqrt(dim) GEMM roundoff
+    # per row, so singular values below it are indistinguishable from noise
+    # (harmless 1e-14-scale on the f64 LAPACK path; load-bearing at tight
+    # cutoffs in f32 — see truncation_rank).
+    nf = 2.0 * float(jnp.finfo(M.real.dtype).eps) * float(max(a, b)) ** 0.5
 
     if _native_complex_linalg():
         U, s, Vh = csvd(M)
-        rank = truncation_rank(s, cutoff, maxdim, mindim)
+        rank = truncation_rank(s, cutoff, maxdim, mindim, noise_floor=nf)
     else:
         l = min(k, _round8(maxdim + min(32, max(8, maxdim // 4))))
         if k <= max(64, (5 * l) // 4):
-            U, s, Vh = _gram_svd(M, sweeps=fast_sweeps(k) if fast else None)
-            rank = truncation_rank(s, cutoff, maxdim, mindim)
+            U, s, Vh = _gram_svd(
+                M,
+                sweeps=fast_sweeps(k) if (fast or f32) else None,
+                polish=polish,
+            )
+            rank = truncation_rank(s, cutoff, maxdim, mindim, noise_floor=nf)
         else:
-            if fast:
+            if fast or f32:
                 sweeps = fast_sweeps(l)
-            U, s, Vh = _sketched_svd(M, l, power_iters, sweeps=sweeps)
+            U, s, Vh = _sketched_svd(M, l, power_iters, sweeps=sweeps,
+                                     polish=polish)
             total = jnp.sum(jnp.abs(M) ** 2).astype(s.dtype)
-            rank = truncation_rank(s, cutoff, maxdim, mindim, total=total)
+            rank = truncation_rank(s, cutoff, maxdim, mindim, total=total,
+                                   noise_floor=nf)
     kk = s.shape[0]
     keep = jnp.arange(kk) < rank
     s = jnp.where(keep, s, 0.0)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from qilaplace_tpu.core.mps import ZTMPS, coefficient_batch
-from qilaplace_tpu.ops.apply import apply
+from qilaplace_tpu.ops.apply import apply, apply_coefficient_batch
 from qilaplace_tpu.transforms.zt import build_zt_mpo
 from qilaplace_tpu.utils.bits import paired_config_from_kl
 
@@ -57,6 +57,27 @@ def chi_grid(psi_out: ZTMPS, ks, ls, *, use_pallas: bool | None = None) -> jax.A
         vals = coefficient_batch_pallas(psi_out, configs)
     else:
         vals = coefficient_batch(psi_out, configs)
+    return vals.reshape(ks.shape[0], ls.shape[0])
+
+
+def chi_grid_direct(W, psi_z: ZTMPS, ks, ls) -> jax.Array:
+    """Sample chi on ``ks`` x ``ls`` by DIRECT ``<config| W |psi>`` zipper
+    contraction — no intermediate truncated product state.
+
+    This is the accuracy-first scan route (see
+    :func:`~qilaplace_tpu.ops.apply.apply_coefficient_batch`): the
+    apply-then-read route's roundoff lives at the state-norm scale, so
+    coefficients orders of magnitude below the norm (everything near a
+    pole's floor) inherit an eps*norm/peak relative floor; the direct
+    zipper keeps roundoff relative to the running path product. Cost is a
+    single ``lax.scan`` of batched MXU GEMMs over the grid.
+    """
+    n = psi_z.n
+    ks = jnp.asarray(ks)
+    ls = jnp.asarray(ls)
+    K, L = jnp.meshgrid(ks, ls, indexing="ij")
+    configs = paired_config_from_kl(K.reshape(-1), L.reshape(-1), n)
+    vals = apply_coefficient_batch(W, psi_z, configs)
     return vals.reshape(ks.shape[0], ls.shape[0])
 
 
@@ -137,6 +158,7 @@ def coarse_to_fine_pole_search(
     cutoff: float = 1e-12,
     maxdim: int = 128,
     apply_fused: bool = True,
+    readout: str = "apply",
 ) -> PoleSearchResult:
     """Automated coarse -> fine -> superfine pole identification
     (the flagship workflow, reference docs/src/tutorials/zt.jl:296-411).
@@ -146,21 +168,42 @@ def coarse_to_fine_pole_search(
                |z| = 1), scan a window around the coarse peak;
     superfine: stride-1 window of half-width ``superfine_half`` around the
                fine peak, reusing the fine transform.
+
+    ``readout="apply"`` forms the truncated product state once per transform
+    and batch-reads it (cheapest when many grids share one transform);
+    ``readout="direct"`` zipper-contracts <config| W |psi> per grid point
+    without the intermediate product (accuracy-first — see
+    :func:`chi_grid_direct`).
     """
     n = psi_z.n
     N = 2**n
 
     def transform(wr):
         W = build_zt_mpo(n, wr, cutoff=cutoff, maxdim=maxdim)
+        if readout == "direct":
+            return W
         if apply_fused:
             return apply(W, psi_z, maxdim=maxdim, cutoff=cutoff)
         return apply(W, psi_z)
+
+    def scan_one(state, ks, ls, wr):
+        if readout == "direct":
+            chi = chi_grid_direct(state, psi_z, ks, ls)
+            mag = jnp.abs(chi)
+            flat = jnp.argmax(mag)
+            i, j = jnp.unravel_index(flat, mag.shape)
+            return ScanResult(
+                ks=ks, ls=ls, chi=chi, k_peak=ks[i], l_peak=ls[j],
+                z_peak=z_from_kl(ks[i], ls[j], n, wr, wi),
+                wr=float(wr), wi=float(wi),
+            )
+        return pole_scan(state, ks, ls, wr=wr, wi=wi)
 
     # --- coarse ---
     stride_c = max(1, N // coarse_points)
     psi_c = transform(wr_coarse)
     ks_c = jnp.arange(0, N, stride_c)
-    coarse = pole_scan(psi_c, ks_c, ks_c, wr=wr_coarse, wi=wi)
+    coarse = scan_one(psi_c, ks_c, ks_c, wr_coarse)
 
     # --- fine: re-center the coarse peak in the wr_fine coordinates ---
     psi_f = transform(wr_fine)
@@ -173,12 +216,12 @@ def coarse_to_fine_pole_search(
         k_c + jnp.arange(-half_k, half_k + 1, stride_fk), 0, N - 1
     )
     ls_f = jnp.mod(l_c + jnp.arange(-half_l, half_l + 1, stride_fl), N)
-    fine = pole_scan(psi_f, ks_f, ls_f, wr=wr_fine, wi=wi)
+    fine = scan_one(psi_f, ks_f, ls_f, wr_fine)
 
     # --- superfine: stride-1 zoom around the fine peak ---
     h = superfine_half
     ks_s = jnp.clip(fine.k_peak + jnp.arange(-h, h + 1), 0, N - 1)
     ls_s = jnp.mod(fine.l_peak + jnp.arange(-h, h + 1), N)
-    superfine = pole_scan(psi_f, ks_s, ls_s, wr=wr_fine, wi=wi)
+    superfine = scan_one(psi_f, ks_s, ls_s, wr_fine)
 
     return PoleSearchResult(coarse=coarse, fine=fine, superfine=superfine)

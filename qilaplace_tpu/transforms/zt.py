@@ -90,17 +90,32 @@ def _build_factors_concurrent(
 ):
     """Build the DT and paired-QFT zT factors as ONE vmapped layer fold.
 
-    Both factor builds are prefix folds of embedded gate layers at the same
-    bucket; stacking them on a leading factor axis and vmapping
-    :func:`compose_layers` halves the sequential fold latency (the shorter
-    QFT stack is padded with identity layers, folded last — a no-op up to
-    cutoff-level truncation noise).
+    The fold latency is the SEQUENTIAL layer count (each fused composition
+    is a chain scan of latency-bound eigensolves). At LOOSE cutoffs
+    (>= 1e-10, the flagship f32 path) the DT stack is split at its physical
+    seam into Part 1 (control_damping, n layers) and Part 2
+    (control_damping_copy, n-1 layers) — both prefix folds in their own
+    right — and folded CONCURRENTLY with the n-layer QFT stack as one
+    3-way vmapped program of length n, instead of the 2-way fold of length
+    2n-1. DT = Part2 ∘ Part1 is restored by one extra fused composition at
+    the factor bucket (cheap next to n saved fold iterations). At TIGHT
+    cutoffs (the <= 1e-10 parity path) the split is NOT used: the extra
+    P2∘P1 composition and the standalone Part-2 product are not plateau-
+    bounded prefix products of the DT stack, so their capacity-bound zips
+    lose real mass (measured: n=5 forced-device parity 8.3e-8 vs 1e-11 with
+    the sequential 2n-1 fold) — there the DT stack folds as one chain,
+    concurrent with the padded QFT stack (2-way vmap). Mid-stack pair trees
+    are NOT used either way: only prefix products of these gate stacks stay
+    at the bond plateau (see the capacity note in transforms/dt.py).
     """
     maxdim_f = min(maxdim, chi_f)
-    dt_layers = [
+    loose = cutoff >= 1e-10
+    zip_mode = "range" if loose else "svd"
+    p1_layers = [
         embed_window(control_damping_mpo(n, k, wr, dtype=dtype), 2 * n, 0)
         for k in range(1, n + 1)
-    ] + [
+    ]
+    p2_layers = [
         embed_window(
             control_damping_copy_mpo(n, k, wr, dtype=dtype), 2 * n, 2 * (k - 1)
         )
@@ -110,21 +125,19 @@ def _build_factors_concurrent(
         embed_window(control_Hphase_ztmps_mpo(k, dtype=dtype), 2 * n, 0)
         for k in range(1, n + 1)
     ]
-    chi_l = max(
-        max(l.chain.chi for l in dt_layers),
-        max(l.chain.chi for l in qft_layers),
-    )
-    dt_layers = [mpo_repad(l, chi_l) for l in dt_layers]
-    qft_layers = [mpo_repad(l, chi_l) for l in qft_layers]
-    dt_c, dt_r = stack_layers(dt_layers)
-    q_c, q_r = stack_layers(qft_layers)
-    L, n2, chi_p = max(dt_c.shape[0], q_c.shape[0]), 2 * n, dt_c.shape[2]
+    if loose:
+        stacks = [p1_layers, p2_layers, qft_layers]
+    else:
+        stacks = [p1_layers + p2_layers, qft_layers]
+    chi_l = max(l.chain.chi for st in stacks for l in st)
+    L, n2 = max(len(st) for st in stacks), 2 * n
 
-    def pad_stack(cores, ranks):
+    def pad_stack(layers):
+        cores, ranks = stack_layers([mpo_repad(l, chi_l) for l in layers])
         pad = L - cores.shape[0]
         if pad == 0:
             return cores, ranks
-        eye = jnp.zeros((pad, n2, chi_p, 2, 2, chi_p), dtype=cores.dtype)
+        eye = jnp.zeros((pad, n2, chi_l, 2, 2, chi_l), dtype=cores.dtype)
         eye = eye.at[:, :, 0, 0, 0, 0].set(1.0).at[:, :, 0, 1, 1, 0].set(1.0)
         return (
             jnp.concatenate([cores, eye], axis=0),
@@ -133,23 +146,33 @@ def _build_factors_concurrent(
             ),
         )
 
-    lay_c = jnp.stack([pad_stack(dt_c, dt_r)[0], pad_stack(q_c, q_r)[0]])
-    lay_r = jnp.stack([pad_stack(dt_c, dt_r)[1], pad_stack(q_c, q_r)[1]])
+    padded = [pad_stack(st) for st in stacks]
+    lay_c = jnp.stack([c for c, _ in padded])
+    lay_r = jnp.stack([r for _, r in padded])
     acc = identity_mpo(n, chi=chi_f, dtype=jnp.dtype(dtype), paired=True).chain
-    acc_c = jnp.broadcast_to(acc.cores[None], (2,) + acc.cores.shape)
-    acc_r = jnp.broadcast_to(acc.ranks[None], (2,) + acc.ranks.shape)
+    acc_c = jnp.broadcast_to(acc.cores[None], (len(stacks),) + acc.cores.shape)
+    acc_r = jnp.broadcast_to(acc.ranks[None], (len(stacks),) + acc.ranks.shape)
 
     def fold_one(c, r, lc, lr):
         out = compose_layers(
             MPO(cores=c, ranks=r), lc, lr, cutoff=cutoff, maxdim=maxdim_f,
-            chi_work=chi_work_f, polish="reverse",
-            zip_mode="range" if cutoff >= 1e-10 else "svd",
+            chi_work=chi_work_f, polish="reverse", zip_mode=zip_mode,
         )
         return out.cores, out.ranks
 
     cores2, ranks2 = jax.vmap(fold_one)(acc_c, acc_r, lay_c, lay_r)
-    W_dt = PairedSiteMPO(chain=MPO(cores=cores2[0], ranks=ranks2[0]))
-    W_qft = PairedSiteMPO(chain=MPO(cores=cores2[1], ranks=ranks2[1]))
+    if not loose:
+        W_dt = PairedSiteMPO(chain=MPO(cores=cores2[0], ranks=ranks2[0]))
+        W_qft = PairedSiteMPO(chain=MPO(cores=cores2[1], ranks=ranks2[1]))
+        return W_dt, W_qft
+    W_p1 = PairedSiteMPO(chain=MPO(cores=cores2[0], ranks=ranks2[0]))
+    W_p2 = PairedSiteMPO(chain=MPO(cores=cores2[1], ranks=ranks2[1]))
+    W_qft = PairedSiteMPO(chain=MPO(cores=cores2[2], ranks=ranks2[2]))
+    W_dt = apply_mpo_mpo(
+        W_p1, W_p2, chi_out=chi_f, cutoff=cutoff, maxdim=maxdim_f,
+        chi_work=min(2 * chi_f, chi_f * chi_f), polish="reverse",
+        zip_mode=zip_mode,
+    )
     return W_dt, W_qft
 
 
@@ -195,7 +218,17 @@ def build_zt_mpo(
     # cover rank_acc * rank_layer (~18 * 3), and the range-mode zip's cost
     # at l = 64 is negligible next to the polish — a narrower fast mode
     # would reintroduce non-canonical cap losses for no real savings.
-    fuse_work = chi_work if chi_work is not None else 2 * chi
+    # The FUSE capacity only has to cover the true product rank
+    # rank_dt * rank_qft ~= 18 * 8 = 144, so chi + 32 (160 at the flagship
+    # chi=128) is exact while halving the per-site zip eigensolve cost vs
+    # 2*chi (device eigh latency is ~m^3 in the working bucket). Tight
+    # cutoffs (parity) keep the full 2*chi capacity.
+    if chi_work is not None:
+        fuse_work = chi_work
+    elif cutoff >= 1e-10:
+        fuse_work = min(2 * chi, chi + 32)
+    else:
+        fuse_work = 2 * chi
     if chi_dt == chi_qft:
         # The DT and paired-QFT factor folds are independent until the fuse;
         # at equal buckets they run CONCURRENTLY as one vmapped fold (the

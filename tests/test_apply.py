@@ -61,6 +61,23 @@ def test_apply_fused_matches_exact():
     assert np.allclose(fused, exact, atol=1e-9 * np.linalg.norm(exact))
 
 
+def test_apply_coefficient_batch_matches_dense():
+    # direct <config| W |psi> zipper == rows of (dense W) @ x, without
+    # forming the product state (the accuracy-critical pole-scan readout)
+    from qilaplace_tpu.ops.apply import apply_coefficient_batch
+
+    n = 5
+    x = np.random.default_rng(7).normal(size=2**n)
+    psi = signal_mps(x, cutoff=0.0)
+    W = random_mpo(n, chi_true=3, seed=8)
+    expected_full = np.asarray(mpo_to_dense(W)) @ x
+    idx = np.array([0, 1, 5, 17, 2**n - 1])
+    # site 1 = MSB: config bit j is the (n-1-j)-th binary digit
+    cfg = ((idx[:, None] >> np.arange(n)[::-1]) & 1).astype(np.int32)
+    got = np.asarray(apply_coefficient_batch(W, psi, cfg))
+    assert np.allclose(got, expected_full[idx], atol=1e-10)
+
+
 def test_apply_fused_truncation_caps_rank():
     n = 6
     x = np.random.default_rng(5).normal(size=2**n)

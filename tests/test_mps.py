@@ -284,3 +284,20 @@ def test_signal_mps_chi_below_natural_rank():
     v = np.asarray(mps_to_vector(psi))
     # lossy but sane: captures the bulk of the energy
     assert np.linalg.norm(v - x) < np.linalg.norm(x)
+
+
+def test_empty_constructors():
+    # reference src/mps.jl:142-146 (SignalMPS(n)) and :180-184 (ZTMPS(n)):
+    # bare allocation constructors — zero tensors, every bond rank 1.
+    from qilaplace_tpu import MPS, ZTMPS, validate
+
+    psi = MPS.empty(5)
+    validate(psi)
+    assert psi.n == 5 and int(jnp.max(psi.ranks)) == 1
+    assert float(jnp.max(jnp.abs(psi.cores))) == 0.0
+
+    zt = ZTMPS.empty(4, chi=4, dtype=jnp.complex128)
+    validate(zt)
+    assert zt.n == 4 and zt.chain.n == 8
+    assert int(jnp.max(zt.chain.ranks)) == 1
+    assert float(jnp.max(jnp.abs(zt.chain.cores))) == 0.0

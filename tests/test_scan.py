@@ -38,6 +38,21 @@ def test_chi_grid_vectors():
     assert np.allclose(grid, Z[np.ix_(ks, ls)], atol=1e-8)
 
 
+def test_chi_grid_direct_matches_analytic():
+    # direct <config| W |psi> route == analytic zT (no product state formed)
+    from qilaplace_tpu.scan.pole_scan import chi_grid_direct
+
+    n, wr = 3, 1.0
+    x = np.random.default_rng(0).normal(size=8)
+    W = build_zt_mpo(n, wr, cutoff=1e-14)
+    psi = signal_ztmps(x, cutoff=1e-14)
+    ks = np.array([0, 3, 5])
+    ls = np.array([1, 2])
+    grid = np.asarray(chi_grid_direct(W, psi, ks, ls))
+    Z = analytical_zt(x, wr)
+    assert np.allclose(grid, Z[np.ix_(ks, ls)], atol=1e-8)
+
+
 def test_pole_scan_peak():
     n, wr = 3, 0.75
     x = np.random.default_rng(1).normal(size=8)
@@ -83,6 +98,29 @@ def test_coarse_to_fine_pole_search():
         abs(np.angle(z_hat) - np.angle(zp)) for zp in z_poles
     )
     assert ang_err < 2 * np.pi * 16 / N, (z_hat, z_poles, ang_err)
+
+
+def test_coarse_to_fine_pole_search_direct_readout():
+    # readout="direct" (zipper <cfg|W|psi>, no product state) localizes the
+    # same pole as the apply route
+    n = 8
+    N = 2**n
+    a, w0 = 1.004, 0.7
+    j = np.arange(N)
+    x = a**j * np.cos(w0 * j)
+    psi_z = signal_ztmps(x, cutoff=1e-12, maxdim=64)
+    res = coarse_to_fine_pole_search(
+        psi_z,
+        coarse_points=64,
+        fine_points=32,
+        superfine_half=4,
+        cutoff=1e-12,
+        maxdim=64,
+        readout="direct",
+    )
+    z_poles = [(1 / a) * np.exp(-1j * w0), (1 / a) * np.exp(1j * w0)]
+    z_hat = complex(res.z_pole)
+    assert min(abs(z_hat - zp) for zp in z_poles) < 5e-2, (z_hat, z_poles)
 
 
 import os as _os
