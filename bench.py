@@ -146,12 +146,30 @@ def child(n: int, mode: str) -> None:
     # direct contraction does not have.
     readout = os.environ.get("BENCH_READOUT", "direct")
 
+    def tight(state, repad_fn):
+        # Shrink the padded chi bucket to the smallest multiple of 8 that
+        # holds the realized ranks (host-known after the rank fetch above):
+        # the direct-readout zipper's per-site GEMMs scale with the BUCKET,
+        # not the rank — at n=30 psi's true rank is ~4-16 inside a chi=128
+        # pad, an 8x waste of MXU work and HBM.
+        chain = state.chain
+        r = int(np.asarray(chain.ranks).max())
+        return repad_fn(state, min(chain.chi, max(8, ((r + 7) // 8) * 8)))
+
     if readout == "direct":
+        from qilaplace_tpu.core.mps import repad
+        from qilaplace_tpu.core.mpo import mpo_repad
+
         @jax.jit
         def step(W, psi, configs):
             vals = apply_coefficient_batch(W, psi, configs)
             return jnp.real(vals), jnp.imag(vals)
+
+        def maybe_tight(W, psi):
+            return tight(W, mpo_repad), tight(psi, repad)
     else:
+        def maybe_tight(W, psi):
+            return W, psi
         read_fn = coefficient_batch_pallas if readout == "pallas" \
             else coefficient_batch
 
@@ -182,6 +200,7 @@ def child(n: int, mode: str) -> None:
                          dtype=np.complex64, chi_work=CHI)
         np.asarray(W.chain.ranks)
         t_build = time.perf_counter() - t0
+        W, psi = maybe_tight(W, psi)
         return psi, W, t_enc, t_build
 
     if mode == "tpu":
@@ -285,6 +304,7 @@ def child(n: int, mode: str) -> None:
         ))
         jax.block_until_ready(W.chain.cores)
         t_ship = time.perf_counter() - t0
+        W, psi = maybe_tight(W, psi)
         re, im = step(W, psi, configs)  # warmup
         np.asarray(re)
         times = []
@@ -352,6 +372,7 @@ def child(n: int, mode: str) -> None:
         t0 = time.perf_counter()
         host, t_enc, t_build = encode_build_cpu()
         psi, W = ship(host)
+        W, psi = maybe_tight(W, psi)
         re, im = step(W, psi, configs)
         np.asarray(re)
         log(f"warmup total (incl. compiles) {time.perf_counter() - t0:.2f}s "
@@ -365,6 +386,7 @@ def child(n: int, mode: str) -> None:
         t1 = time.perf_counter()
         psi, W = ship(host)
         t_ship = time.perf_counter() - t1
+        W, psi = maybe_tight(W, psi)
         times = []
         for _ in range(3):
             t1 = time.perf_counter()
