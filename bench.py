@@ -8,19 +8,37 @@ build, which this bench does include). vs_baseline = 20.036 / value.
 Timings are medians of warm runs, matching the reference's
 BenchmarkTools-means-after-warmup protocol (docs/src/benchmarking.md:10-16).
 
-Two setup modes, tried in order:
+Stage configuration (round 3 defaults — each knob keeps the round-2 device
+path selectable for comparison):
 
-* "tpu": every stage runs on the TPU device — signal generation, the rsvd
-  encode, the zT MPO build (device Jacobi linalg, ops/jacobi.py), the fused
-  apply and the batched scan readout. One compile-warmup pass precedes
-  timing.
-  Runs as TWO subprocesses (setup -> split-f32 npz -> apply): the tunneled
-  runtime never returns the encode's multi-GiB arena to the pool, so at
-  n=30 the apply step RESOURCE_EXHAUSTs in the same process even after
-  every large array is deleted. Stage times are warm and summed.
-* "cpu" (fallback): encode + build on host LAPACK, ship split re/im, TPU
-  apply + scan — the round-1 configuration, used when the tunneled backend
-  cannot survive the TPU-mode compiles.
+* encode  BENCH_ENCODE=cross (default) | rsvd
+  cross: host-f64 TT cross-interpolation (signals/cross_encode.py) — reads
+  O(n r^2) of the 2^n samples, every arithmetic step f64. By default the
+  signal is passed as its closed form (quantics function encoding, nothing
+  materialized); BENCH_SIGNAL=vector materializes the 2^n vector first
+  (untimed) and crosses its entries. rsvd: the on-device
+  divide-and-conquer GEMM tree.
+* build   BENCH_BUILD=analytic (default) | gate
+  analytic: rail-cross + exact interleave + one deterministic f64
+  compression (transforms/analytic.py) — milliseconds on the host, every
+  core entry f64-accurate. gate: the reference-parity gate-layer fold on
+  the device (device Jacobi linalg).
+* readout BENCH_READOUT=direct (default) | pallas | scan
+  direct: <config|W|psi> zipper per scan point, no intermediate truncated
+  product (ops/apply.py apply_coefficient_batch). pallas/scan: fused apply
+  then batched coefficient readout.
+
+Modes (setup placement), tried in order:
+
+* "tpu": host (cross/analytic) or device (rsvd/gate) setup, apply + scan
+  on the TPU. With the default host setup the device arena never sees the
+  encode, so a single process handles every n.
+* "tpu2": the round-2 two-subprocess split (device setup -> npz -> apply)
+  needed by BENCH_ENCODE=rsvd at n >= 28 (the tunneled runtime never
+  returns the encode's multi-GiB arena to the pool).
+* "cpu" (last resort): everything including the scan runs on host CPU —
+  produces an honest number even with the TPU relay down (the JSON's
+  setup_device/apply_device fields say so).
 
 Accuracy: the scanned coefficients are compared against the closed-form
 chi(k, l) of the sin_decay input (signals/oracles.py — O(1) per point, so it
@@ -29,8 +47,10 @@ works at n=30 where a dense reference is 2^30 terms);
 sampled points.
 
 Robustness: each (n, mode) attempt runs in a subprocess (a crashed TPU
-worker wedges the whole jax process); the parent prints exactly ONE JSON
-line to stdout.
+worker wedges the whole jax process); a 90 s probe subprocess checks the
+tunneled backend actually answers before any TPU-mode attempt (a wedged
+relay HANGS jax.devices(), it does not error); the parent prints exactly
+ONE JSON line to stdout.
 """
 
 from __future__ import annotations
@@ -45,6 +65,10 @@ BASELINE_S = 20.036
 CHI = 128
 N_SCAN = 4096
 CUTOFF = float(os.environ.get("BENCH_CUTOFF", "1e-9"))
+W_CUTOFF = float(os.environ.get("BENCH_W_CUTOFF", "1e-12"))
+PSI_CUTOFF = float(os.environ.get("BENCH_PSI_CUTOFF", "1e-12"))
+ENCODE = os.environ.get("BENCH_ENCODE", "cross")
+BUILD = os.environ.get("BENCH_BUILD", "analytic")
 WR = 2 * 3.141592653589793
 FREQ, DECAY = 2.0, 0.5
 
@@ -77,6 +101,44 @@ def scan_samples(n):
     return ks, ls, cfg
 
 
+def signal_fn(n):
+    """The sin_decay bench signal as a closed-form entry function
+    x_j = sin(w j) e^{-lam j}, w = freq * dt, lam = decay * dt,
+    dt = 1 / (freq * 2^n) — matching signals/generate.py sin_decay. The
+    cross encoder reads only the O(n r^2) entries it pivots on (quantics
+    function encoding), so the default cross path never materializes the
+    2^n-sample vector at all (at n = 30 that vector is 8 GiB and costs
+    ~2.5 min of this host's single core just to fill)."""
+    import numpy as np
+
+    N = 2**n
+    dt = 1.0 / (FREQ * N)
+    w, lam = FREQ * dt, DECAY * dt
+
+    def f(j):
+        j = j.astype(np.float64)
+        return np.sin(w * j) * np.exp(-lam * j)
+
+    f.n_bits = n
+    return f
+
+
+def host_signal(n):
+    """sin_decay materialized on the host in f64 (BENCH_SIGNAL=vector — the
+    analogue of the reference's pre-benchmark signal construction, likewise
+    excluded from the timed region). Chunked to bound temporaries."""
+    import numpy as np
+
+    fn = signal_fn(n)
+    N = 2**n
+    x = np.empty(N, dtype=np.float64)
+    step = 1 << 24
+    for lo in range(0, N, step):
+        x[lo : lo + step] = fn(np.arange(lo, min(lo + step, N),
+                                         dtype=np.int64))
+    return x
+
+
 def accuracy(n, got_re, got_im, ks, ls):
     """max |got - oracle| / peak |oracle| over the structured half of the
     scan (the random half sits below the truncation floor by construction
@@ -100,6 +162,171 @@ def accuracy(n, got_re, got_im, ks, ls):
     return float(np.abs(got - want).max() / peak), float(peak)
 
 
+def make_step(readout, configs):
+    """The jitted apply+scan program (placement follows its operands)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qilaplace_tpu.core.mps import coefficient_batch
+    from qilaplace_tpu.ops.apply import apply, apply_coefficient_batch
+    from qilaplace_tpu.ops.pallas_kernels import coefficient_batch_pallas
+
+    if readout == "direct":
+
+        @jax.jit
+        def step(W, psi, configs):
+            vals = apply_coefficient_batch(W, psi, configs)
+            return jnp.real(vals), jnp.imag(vals)  # complex not fetchable
+
+    else:
+        read_fn = (
+            coefficient_batch_pallas if readout == "pallas"
+            else coefficient_batch
+        )
+
+        @jax.jit
+        def step(W, psi, configs):
+            out = apply(W, psi, maxdim=CHI, cutoff=CUTOFF, final_sweeps=0,
+                        zip_mode="range")
+            vals = read_fn(out, configs)
+            return jnp.real(vals), jnp.imag(vals)
+
+    return step
+
+
+def child_host_setup(n: int, mode: str) -> None:
+    """Host-f64 encode (cross) + build (analytic), apply + 4096-point scan
+    on the TPU ("tpu") or entirely on the host CPU ("cpu" last resort)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO
+    from qilaplace_tpu.core.mps import MPS, ZTMPS
+
+    if mode == "cpu":
+        # pin BEFORE any device lookup: backend discovery dials the
+        # tunneled TPU plugin, and a wedged relay HANGS it
+        jax.config.update("jax_platforms", "cpu")
+    cpu = jax.local_devices(backend="cpu")[0]
+    dev = cpu if mode == "cpu" else jax.devices()[0]
+    log(f"devices: apply={dev}, mode={mode}, encode={ENCODE}, build={BUILD}")
+
+    readout = os.environ.get("BENCH_READOUT", "direct")
+    ks, ls, cfg_np = scan_samples(n)
+    configs = jax.device_put(cfg_np, dev)
+    step = make_step(readout, configs)
+
+    if os.environ.get("BENCH_SIGNAL", "callable") == "vector":
+        t0 = time.perf_counter()
+        x = host_signal(n)  # excluded from timed region (reference parity)
+        log(f"host signal materialized ({x.nbytes / 2**30:.1f} GiB, "
+            f"{time.perf_counter() - t0:.1f}s, untimed)")
+    else:
+        x = signal_fn(n)  # quantics function encoding: nothing materialized
+        log("signal: closed-form callable (cross reads O(n r^2) entries)")
+
+    from qilaplace_tpu.signals.cross_encode import signal_ztmps_cross
+    from qilaplace_tpu.transforms.analytic import analytic_zt_mpo
+
+    combine = jax.jit(
+        lambda re, im: (re + 1j * im).astype(jnp.complex64), device=dev
+    )
+
+    def setup_once():
+        # encode: host cross-interpolation (containers pinned to the host
+        # CPU backend; the tunneled device must never see complex or f64)
+        with jax.default_device(cpu):
+            t0 = time.perf_counter()
+            psi = signal_ztmps_cross(x, cutoff=PSI_CUTOFF, maxdim=CHI)
+            p_cores = np.asarray(psi.chain.cores, np.float32)
+            p_ranks = np.asarray(psi.chain.ranks, np.int32)
+            p_amp = np.float32(psi.chain.amplitude)
+            t_enc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            W = analytic_zt_mpo(n, WR, cutoff=W_CUTOFF, maxdim=CHI,
+                                dtype=np.complex128)
+            w_re = np.asarray(W.chain.cores.real, np.float32)
+            w_im = np.asarray(W.chain.cores.imag, np.float32)
+            w_ranks = np.asarray(W.chain.ranks, np.int32)
+            t_build = time.perf_counter() - t0
+        # ship: split re/im f32 (complex host->device is UNIMPLEMENTED on
+        # the tunneled backend), combined into c64 in-program
+        t0 = time.perf_counter()
+        psi_dev = ZTMPS(chain=MPS(
+            cores=jax.device_put(p_cores, dev),
+            ranks=jax.device_put(p_ranks, dev),
+            amplitude=jax.device_put(p_amp, dev),
+        ))
+        W_dev = PairedSiteMPO(chain=MPO(
+            cores=combine(jax.device_put(w_re, dev),
+                          jax.device_put(w_im, dev)),
+            ranks=jax.device_put(w_ranks, dev),
+        ))
+        jax.block_until_ready(W_dev.chain.cores)
+        t_ship = time.perf_counter() - t0
+        return psi_dev, W_dev, t_enc, t_build, t_ship
+
+    t0 = time.perf_counter()
+    psi, W, t_enc, t_build, t_ship = setup_once()
+    re, im = step(W, psi, configs)
+    np.asarray(re)  # fetch-sync: block_until_ready does not block on axon
+    log(f"warmup total (incl. compiles) {time.perf_counter() - t0:.2f}s "
+        f"(encode {t_enc:.2f} build {t_build:.2f} ship {t_ship:.2f})")
+
+    times, parts = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        psi, W, t_enc, t_build, t_ship = setup_once()
+        re, im = step(W, psi, configs)
+        re_h, im_h = np.asarray(re), np.asarray(im)
+        times.append(time.perf_counter() - t0)
+        parts.append((t_enc, t_build, t_ship))
+    mid = int(np.argsort(times)[len(times) // 2])
+    t_enc, t_build, t_ship = parts[mid]
+    t_apply = float(np.median(times)) - t_enc - t_build - t_ship
+
+    emit(n, mode, t_enc, t_build, t_ship, t_apply, re_h, im_h, ks, ls, W,
+         readout, setup_device="host-f64",
+         apply_device="cpu" if mode == "cpu" else "tpu")
+
+
+def emit(n, mode, t_enc, t_build, t_ship, t_apply, re_h, im_h, ks, ls, W,
+         readout, setup_device, apply_device, t_build_cache=None):
+    import numpy as np
+
+    t_total = t_enc + t_build + t_ship + t_apply
+    err, peak = accuracy(n, re_h, im_h, ks, ls)
+    mpo_bond = int(np.asarray(W.chain.ranks).max())
+    log(
+        f"end_to_end {t_total:.3f}s = encode {t_enc:.2f} + build "
+        f"{t_build:.2f} + ship {t_ship:.2f} + apply+scan {t_apply:.3f}; "
+        f"|chi| peak {peak:.3e}, max_err_rel_peak {err:.3e}, "
+        f"mpo bond {mpo_bond}"
+    )
+    out = {
+        "metric": "zt_end_to_end_chi128_wall_s",
+        "value": round(t_total, 6),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / t_total, 2),
+        "n": n,
+        "encode_s": round(t_enc, 4),
+        "build_s": round(t_build, 4),
+        "ship_s": round(t_ship, 4),
+        "apply_scan_s": round(t_apply, 6),
+        "max_err_rel_peak": round(err, 10),
+        "mpo_bond": mpo_bond,
+        "encode": ENCODE,
+        "build": BUILD,
+        "setup_device": setup_device,
+        "apply_device": apply_device,
+        "readout": readout,
+    }
+    if t_build_cache is not None:
+        out["build_cache_s"] = round(t_build_cache, 4)
+    print(json.dumps(out), flush=True)
+
+
 def child(n: int, mode: str) -> None:
     import jax
 
@@ -118,14 +345,15 @@ def child(n: int, mode: str) -> None:
         jax.profiler.start_trace(trace_dir)
         atexit.register(jax.profiler.stop_trace)
 
+    if ENCODE == "cross" and BUILD == "analytic" and mode in ("tpu", "cpu"):
+        return child_host_setup(n, mode)
+
     import numpy as np
     import jax.numpy as jnp
 
     from qilaplace_tpu import build_zt_mpo, generate_signal, signal_ztmps
-    from qilaplace_tpu.core.mps import MPS, ZTMPS, coefficient_batch
+    from qilaplace_tpu.core.mps import MPS, ZTMPS
     from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO
-    from qilaplace_tpu.ops.apply import apply, apply_coefficient_batch
-    from qilaplace_tpu.ops.pallas_kernels import coefficient_batch_pallas
 
     cpu = jax.local_devices(backend="cpu")[0]
     tpu = jax.devices()[0]
@@ -133,18 +361,8 @@ def child(n: int, mode: str) -> None:
 
     ks, ls, cfg_np = scan_samples(n)
     configs = jax.device_put(cfg_np, tpu)
-
-    # Apply uses the cap-bound randomized range zip (one eigensolve per
-    # site; ops/truncation.py range_split) — the scan readout runs on the
-    # fused Pallas kernel, now chunked to fixed 32-site/chi VMEM tiles so
-    # ONE Mosaic compile serves every n and the persistent cache holds it
-    # (the round-2 whole-chain kernel took ~390 s to compile at n=30).
-    # "direct" (default) skips the intermediate truncated product entirely:
-    # <config| W |psi> zipper per scan point (ops/apply.py
-    # apply_coefficient_batch) — the apply-then-read routes inherit an
-    # eps*||W psi||/peak relative floor (~1e-1 at n=30 in f32) that the
-    # direct contraction does not have.
     readout = os.environ.get("BENCH_READOUT", "direct")
+    step = make_step(readout, configs)
 
     def tight(state, repad_fn):
         # Shrink the padded chi bucket to the smallest multiple of 8 that
@@ -160,25 +378,11 @@ def child(n: int, mode: str) -> None:
         from qilaplace_tpu.core.mps import repad
         from qilaplace_tpu.core.mpo import mpo_repad
 
-        @jax.jit
-        def step(W, psi, configs):
-            vals = apply_coefficient_batch(W, psi, configs)
-            return jnp.real(vals), jnp.imag(vals)
-
         def maybe_tight(W, psi):
             return tight(W, mpo_repad), tight(psi, repad)
     else:
         def maybe_tight(W, psi):
             return W, psi
-        read_fn = coefficient_batch_pallas if readout == "pallas" \
-            else coefficient_batch
-
-        @jax.jit
-        def step(W, psi, configs):
-            out = apply(W, psi, maxdim=CHI, cutoff=CUTOFF, final_sweeps=0,
-                        zip_mode="range")
-            vals = read_fn(out, configs)
-            return jnp.real(vals), jnp.imag(vals)  # complex not fetchable
 
     def encode_build():
         # Stage boundaries are FETCH-synced (np.asarray of the int32 ranks,
@@ -226,19 +430,18 @@ def child(n: int, mode: str) -> None:
             parts.append((t_enc, t_build))
         t_enc, t_build = parts[int(np.argsort(times)[len(times) // 2])]
         t_apply = float(np.median(times)) - t_enc - t_build
-        t_ship = 0.0
-        t_build_cache = None
-        setup_device = "tpu"
+        emit(n, mode, t_enc, t_build, 0.0, t_apply, re_h, im_h, ks, ls, W,
+             readout, setup_device="tpu", apply_device="tpu")
 
     elif mode == "tpu-setup":
-        # Phase A of the split all-TPU pipeline (n >= 28): encode + build
-        # on the device, persist the (small) state as split re/im f32 for
-        # phase B. A separate process because the tunneled runtime never
-        # returns the encode's multi-GiB arena to the pool — at n=30 even
-        # a 15 MB fetch RESOURCE_EXHAUSTs after two encodes in one
-        # process. One pass only; timings are warm when the persistent
-        # compile cache is populated (the parent retries once so the
-        # second attempt reports warm numbers).
+        # Phase A of the split all-TPU pipeline (BENCH_ENCODE=rsvd,
+        # n >= 28): encode + build on the device, persist the (small) state
+        # as split re/im f32 for phase B. A separate process because the
+        # tunneled runtime never returns the encode's multi-GiB arena to
+        # the pool — at n=30 even a 15 MB fetch RESOURCE_EXHAUSTs after two
+        # encodes in one process. One pass only; timings are warm when the
+        # persistent compile cache is populated (the parent retries once so
+        # the second attempt reports warm numbers).
         x = generate_signal(n, kind="sin_decay", freq=FREQ, decay_rate=DECAY,
                             dtype=jnp.float32)
         t0 = time.perf_counter()
@@ -314,15 +517,14 @@ def child(n: int, mode: str) -> None:
             re_h, im_h = np.asarray(re), np.asarray(im)
             times.append(time.perf_counter() - t0)
         t_apply = float(np.median(times))  # transfer excluded (t_ship)
-        t_enc = float(data["t_enc"])
-        t_build = float(data["t_build"])
-        t_build_cache = float(data["t_build_cache"])
-        setup_device = "tpu"
+        emit(n, mode, float(data["t_enc"]), float(data["t_build"]), t_ship,
+             t_apply, re_h, im_h, ks, ls, W, readout, setup_device="tpu",
+             apply_device="tpu",
+             t_build_cache=float(data["t_build_cache"]))
     else:
-        # CPU setup: native LAPACK, pinned default device so the complex
-        # linalg dispatch sees it at trace time. Same warm-run protocol as
-        # tpu mode (the reference numbers exclude Julia compiles too);
-        # shipping the split-complex stacks counts in the timed run.
+        # legacy CPU-LAPACK setup for the rsvd/gate configuration: encode +
+        # build on host LAPACK, ship split re/im, TPU apply + scan (the
+        # round-1 configuration).
         def encode_build_cpu():
             jax.config.update("jax_default_device", cpu)
             x = generate_signal(n, kind="sin_decay", freq=FREQ,
@@ -394,36 +596,8 @@ def child(n: int, mode: str) -> None:
             re_h, im_h = np.asarray(re), np.asarray(im)
             times.append(time.perf_counter() - t1)
         t_apply = float(np.median(times))
-        t_build_cache = None
-        setup_device = "cpu"
-
-    t_total = t_enc + t_build + t_ship + t_apply
-    err, peak = accuracy(n, re_h, im_h, ks, ls)
-    mpo_bond = int(np.asarray(W.chain.ranks).max())
-    log(
-        f"end_to_end {t_total:.3f}s = encode {t_enc:.2f} + build "
-        f"{t_build:.2f} + ship {t_ship:.2f} + apply+scan {t_apply:.3f}; "
-        f"|chi| peak {peak:.3e}, max_err_rel_peak {err:.3e}, "
-        f"mpo bond {mpo_bond}"
-    )
-    out = {
-        "metric": "zt_end_to_end_chi128_wall_s",
-        "value": round(t_total, 6),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_S / t_total, 2),
-        "n": n,
-        "encode_s": round(t_enc, 4),
-        "build_s": round(t_build, 4),
-        "ship_s": round(t_ship, 4),
-        "apply_scan_s": round(t_apply, 6),
-        "max_err_rel_peak": round(err, 8),
-        "mpo_bond": mpo_bond,
-        "setup_device": setup_device,
-        "readout": readout,
-    }
-    if t_build_cache is not None:
-        out["build_cache_s"] = round(t_build_cache, 4)
-    print(json.dumps(out), flush=True)
+        emit(n, mode, t_enc, t_build, t_ship, t_apply, re_h, im_h, ks, ls,
+             W, readout, setup_device="cpu", apply_device="tpu")
 
 
 def _run_child(n, mode, timeout=4500):
@@ -443,15 +617,43 @@ def _run_child(n, mode, timeout=4500):
         return None
 
 
+def _tpu_alive() -> bool:
+    """90 s probe subprocess: a wedged relay HANGS jax.devices(), so the
+    probe must be killable from outside."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jax.jit(lambda a: (a * a).sum())(jnp.arange(8.0));"
+        "print('PROBE_OK', float(x))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=90, env=os.environ,
+        )
+        return "PROBE_OK" in (proc.stdout or "")
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     sizes = (int(os.environ.get("BENCH_N", "30")), 26, 22, 16)
     os.environ.setdefault("BENCH_STATE", "/tmp/qilaplace_bench_state.npz")
+    host_based = ENCODE == "cross" and BUILD == "analytic"
+    tpu_ok = _tpu_alive()
+    log(f"tpu probe: {'alive' if tpu_ok else 'DOWN (wedged or offline)'}")
     for n in sizes:
-        # n >= 28: the device arena cannot hold the encode AND the apply in
-        # one process (see child tpu-setup docstring) — use the split mode
-        default_modes = "tpu2,cpu" if n >= 28 else "tpu,cpu"
+        if host_based:
+            default_modes = "tpu,cpu"
+        else:
+            # rsvd encode at n >= 28: the device arena cannot hold the
+            # encode AND the apply in one process — use the split mode
+            default_modes = "tpu2,cpu" if n >= 28 else "tpu,cpu"
         modes = os.environ.get("BENCH_MODES", default_modes).split(",")
         for mode in modes:
+            needs_tpu = mode != "cpu" or not host_based
+            if needs_tpu and not tpu_ok:
+                log(f"skipping mode {mode} (tpu down)")
+                continue
             log(f"=== bench attempt n={n} mode={mode}")
             if mode in ("tpu2", "tpu-split"):
                 setup = _run_child(n, "tpu-setup")

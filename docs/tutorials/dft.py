@@ -57,10 +57,19 @@ x = np.asarray(
 # ## 2. Build: the bond dimension plateaus at 8
 #
 # The builder folds n controlled-phase layers into one compressed MPO
-# (reference src/transforms/qft_transformer.jl:121-160). Despite the DFT
-# being a DENSE N x N matrix, its MPO bond dimension saturates at 8 under
-# cutoff 1e-14 — the central structural fact that makes log-N Fourier
-# analysis possible (reference docs/src/benchmarking.md:211-213).
+# (reference src/transforms/qft_transformer.jl:121-160). The circuit's
+# local ingredients (circuits/qft_gates.py) are the Hadamard and the
+# controlled phase,
+#
+#   H = (1/sqrt 2) [[1, 1], [1, -1]],
+#   P_ij = diag(1, e^{-2 pi i / 2^{j-i+1}}),
+#
+# where P_ij leaves the target alone for control |0> and applies the
+# phase for control |1> — wire i gets one H then controlled phases from
+# every less significant wire j > i. Despite the DFT being a DENSE N x N
+# matrix, the folded MPO's bond dimension saturates at 8 under cutoff
+# 1e-14 — the central structural fact that makes log-N Fourier analysis
+# possible (reference docs/src/benchmarking.md:211-213).
 
 W = build_qft_mpo(n, cutoff=1e-14)
 print(f"QFT MPO: max bond = {int(max_bond(W))} (plateau is 8)")
@@ -117,3 +126,88 @@ print(f"dominant frequency bin: {k_peak} (expect 8)")
 # the committed artifact scripts/benchmark/results/qft_vs_fft.json holds
 # this package's own sweep. At n >= 34 the dense array stops fitting in
 # memory entirely while the MPS pipeline continues unchanged.
+
+# ## 7. Spectrum analysis of an off-grid two-tone signal
+#
+# (reference dft.jl:148-293) A richer test: two sinusoids whose
+# frequencies are deliberately NOT integer multiples of 2*pi/N, so the
+# peaks are broadened and the DC bin is nonzero — both effects
+# predictable in closed form. The generator computes
+# x_j = sum_r sin(Omega_r j + phi_r) with Omega_r = omega_r * dt.
+
+n_big = 8
+N_big = 2**n_big
+dt_big = 1 / N_big
+freq_big = 2 * np.pi * np.array([8.35, 43.70])
+phase_big = np.array([0.0, 0.3])
+x_two = np.asarray(
+    generate_signal(n_big, kind="sin", dt=dt_big, freq=list(freq_big),
+                    phase=list(phase_big), dtype=jnp.float64)
+)
+psi_two = signal_mps(x_two, cutoff=1e-12)
+W8 = build_qft_mpo(n_big, cutoff=1e-12)
+spec_two = np.asarray(mps_to_vector(apply(W8, psi_two), reverse=True))
+fft_two = np.fft.fft(x_two) / np.sqrt(N_big)
+print(f"two-tone spectrum: max |QFT - FFT| = "
+      f"{np.abs(spec_two - fft_two).max():.2e}")
+
+# Where should the peaks be? Omega_r = freq_r * dt, symmetric pairs at
+# +-Omega_r on the shifted omega in [-pi, pi) axis:
+Om = freq_big * dt_big
+print("expected peak angular frequencies:", np.round(Om, 3))
+
+# The DC bin has the closed form X(0) = (1/sqrt N) sum_j x_j with
+# sum_j sin(Omega j + phi) = sin(N Omega/2) sin(phi + (N-1) Omega/2)
+#                            / sin(Omega/2):
+dc_pred = sum(
+    np.sin(N_big * O / 2) * np.sin(p + (N_big - 1) * O / 2) / np.sin(O / 2)
+    for O, p in zip(Om, phase_big)
+) / np.sqrt(N_big)
+print(f"DC bin: predicted {dc_pred:.6f}, measured {spec_two[0].real:.6f}")
+
+# Shifted-spectrum figure with the error on a second axis:
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+_here = (
+    os.path.dirname(os.path.abspath(__file__))
+    if "__file__" in globals()
+    else os.path.join(os.getcwd(), "docs", "tutorials")
+)
+_figdir = os.path.join(_here, "..", "assets", "tutorials")
+os.makedirs(_figdir, exist_ok=True)
+
+w_axis = (2 * np.pi / N_big) * np.arange(-N_big // 2, N_big // 2)
+shift = np.fft.fftshift
+fig, ax = plt.subplots(figsize=(8, 4.2), constrained_layout=True)
+ax.plot(w_axis, np.abs(shift(spec_two)), lw=2, label="|QFT| (this package)")
+ax.plot(w_axis, np.abs(shift(fft_two)), lw=2, ls="--", label="|FFT|/sqrt(N)")
+for O in Om:
+    ax.axvline(O, color="k", ls="-.", lw=0.8)
+    ax.axvline(-O, color="k", ls="-.", lw=0.8)
+ax2 = ax.twinx()
+ax2.semilogy(w_axis, np.abs(shift(spec_two - fft_two)) + 1e-30, ls=":",
+             color="0.5", lw=1)
+ax2.set_ylabel("|error|")
+ax.set_xlabel("omega")
+ax.set_ylabel("magnitude")
+ax.set_title("off-grid two-tone spectrum, n = 8")
+ax.legend(loc="upper left")
+fig.savefig(os.path.join(_figdir, "dft_spectrum.svg"))
+print("figure written to docs/assets/tutorials/dft_spectrum.svg")
+
+# ## 8. Outlook: spectral methods in compressed form
+#
+# Once signals AND operators live as quantics MPS/MPO, a Fourier transform
+# is just an MPO-MPS contraction — which opens the classical spectral-
+# method toolbox on exponentially fine grids without ever forming dense
+# vectors: diffusion semigroups (the Laplacian is diagonal in Fourier
+# space), Poisson/Helmholtz solves (derivatives become per-mode algebraic
+# factors), split-step Schrodinger-type dynamics (kinetic term in Fourier
+# space, potential in real space), convolution-form terms via the
+# convolution theorem, and stiff multi-scale problems where quantics
+# low-rank structure absorbs the scale separation. The inverse QFT is the
+# conjugate-transposed gate cascade — build_qft_mpo's layers with
+# conjugated phases — and composes the same way.

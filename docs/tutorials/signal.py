@@ -149,3 +149,107 @@ print(f"rsvd encode max err: {err_r:.2e}")
 # on the device: generate_signal builds with jnp, signal_mps runs as one
 # jitted program, and nothing but the chi-sized cores ever leaves the
 # accelerator.
+
+# ## 7. Choosing between SVD and RSVD
+#
+# (reference tutorial sections 3-4) The dense TT-SVD sweep computes the
+# full singular spectrum at every split — a strict error guarantee, at
+# full-spectrum cost, and it will faithfully spend rank on ANYTHING in the
+# data, including noise. The randomized encoder captures only the top-k
+# directions per split: far cheaper on large signals, and a built-in
+# low-pass on unstructured content.
+#
+# Rule of thumb: SVD for small or clean data where guaranteed accuracy
+# matters; RSVD for large or noisy data where the full spectrum is wasted.
+# Timings on a decaying three-tone signal:
+
+import time
+
+x_big = np.asarray(
+    generate_signal(
+        n, kind="sin_decay", dt=1 / N,
+        freq=[2 * np.pi * 5, 2 * np.pi * 17, 2 * np.pi * 23],
+        decay_rate=[1.25, 1.4, 1.55], phase=[0.0, 0.4, -0.6],
+        dtype=jnp.float64,
+    )
+)
+
+
+def bench_encode(**kw):
+    t0 = time.perf_counter()
+    p = signal_mps(x_big, cutoff=1e-9, **kw)
+    jax.block_until_ready(p.cores)
+    dt = time.perf_counter() - t0
+    err = np.linalg.norm(np.asarray(mps_to_vector(p)) - x_big)
+    err /= np.linalg.norm(x_big)
+    return p, dt, err
+
+
+psi_svd, t_svd, e_svd = bench_encode(method="svd", maxdim=96)
+psi_rsvd, t_rsvd, e_rsvd = bench_encode(method="rsvd", maxdim=96, k=10)
+print(f"SVD : {t_svd:.4f}s  max bond {int(np.asarray(psi_svd.ranks).max())}"
+      f"  rel l2 err {e_svd:.2e}")
+print(f"RSVD: {t_rsvd:.4f}s  max bond {int(np.asarray(psi_rsvd.ranks).max())}"
+      f"  rel l2 err {e_rsvd:.2e}")
+
+# ## 8. The noisy-signal experiment
+#
+# (reference tutorial section 5) Add 10% Gaussian noise. SVD under a pure
+# cutoff chases every fluctuation — noise has no scale structure, so it
+# looks like entanglement and the bond dimension blows up toward the
+# 2^(n/2) cap. RSVD under a hard budget (maxdim=10, k=10) cannot represent
+# the noise at all: it keeps the dominant structured directions — the
+# tones and decays — and drops the rest. Its error RELATIVE TO THE NOISY
+# INPUT is larger, but what it kept is the underlying signal: budgeted
+# randomized encoding doubles as a denoiser.
+
+rng = np.random.default_rng(2026)
+x_noisy = x_big + 0.1 * x_big.std() * rng.standard_normal(x_big.shape)
+
+psi_svd_n = signal_mps(x_noisy, method="svd", cutoff=1e-9)
+psi_rsvd_n = signal_mps(x_noisy, method="rsvd", cutoff=1e-9, maxdim=10, k=10)
+rec_svd = np.asarray(mps_to_vector(psi_svd_n))
+rec_rsvd = np.asarray(mps_to_vector(psi_rsvd_n))
+
+
+def rel(a, b):
+    return np.linalg.norm(a - b) / np.linalg.norm(b)
+
+
+print(f"noisy SVD : max bond {int(np.asarray(psi_svd_n.ranks).max())} "
+      f"(blow-up), err vs noisy {rel(rec_svd, x_noisy):.3f}")
+print(f"noisy RSVD: max bond {int(np.asarray(psi_rsvd_n.ranks).max())} "
+      f"(budgeted), err vs noisy {rel(rec_rsvd, x_noisy):.3f}, "
+      f"err vs CLEAN {rel(rec_rsvd, x_big):.3f}")
+
+# ## 9. Figures: reconstruction and denoising
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+_here = (
+    os.path.dirname(os.path.abspath(__file__))
+    if "__file__" in globals()
+    else os.path.join(os.getcwd(), "docs", "tutorials")
+)
+_figdir = os.path.join(_here, "..", "assets", "tutorials")
+os.makedirs(_figdir, exist_ok=True)
+
+idx = np.arange(N)
+fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 4), constrained_layout=True)
+ax1.plot(idx, x_big, lw=2, ls="-.", label="original")
+ax1.plot(idx, np.asarray(mps_to_vector(psi_svd)), lw=1, label="SVD")
+ax1.plot(idx, np.asarray(mps_to_vector(psi_rsvd)), lw=1, label="RSVD")
+ax1.set_title("structured signal: both encoders track it")
+ax1.set_xlabel("integer index i")
+ax1.set_ylabel("signal value")
+ax1.legend()
+ax2.plot(idx, x_noisy, lw=0.8, color="0.6", label="noisy input")
+ax2.plot(idx, rec_svd, lw=1, ls="-.", label="SVD (tracks noise)")
+ax2.plot(idx, rec_rsvd, lw=1.8, label="RSVD maxdim=10 (tracks signal)")
+ax2.set_title("10% noise: budgeted RSVD denoises")
+ax2.set_xlabel("integer index i")
+ax2.legend()
+fig.savefig(os.path.join(_figdir, "signal_compression.svg"))
+print("figure written to docs/assets/tutorials/signal_compression.svg")

@@ -52,16 +52,67 @@ from qilaplace_tpu import (
 from qilaplace_tpu.utils.bits import int_to_bits, interleave_bits
 
 # ## Small pedagogical case: n = 2 (N = 4 samples, paired grid M = 16)
+#
+# The walkthrough signal is a damped cosine
+#
+#   x_j = a^j cos(w0 j),  j = 0..N-1,  a = 0.7, w0 = pi/3.
+#
 n, N = 2, 4
 a, w0 = 0.7, np.pi / 3
 x = np.array([a**j * np.cos(w0 * j) for j in range(N)])
+print("x =", np.round(x, 4))
 
+# ## Constructing the ZTMPS
+#
+# The encoded paired state is
+#
+#   |x>_pair = sum_j xhat_j |j>_main |j>_copy,    xhat = x / ||x||_2.
+#
+# Two registers, interleaved site-by-site on one 2n-site chain:
+# - MAIN will carry the transform-output index (k, l bits after the zT),
+# - COPY carries the original sample index, which the controlled
+#   non-unitary damping gates of the zT construction act on.
+#
+# (The reference materializes the pair as two ITensor site sets; here the
+# interleaved 2n chain IS the storage — core/mps.py ZTMPS.)
 psi_z = signal_ztmps(x, cutoff=1e-14)
 
-# sanity: <j|<j| psi = x_j  (interleaved MSB-first j bits on both registers)
+# Element access sanity check: the coefficient at |j>_main |j>_copy must be
+# the normalized sample xhat_j. Configuration addressing is MSB-first per
+# register; interleave_bits merges (main, copy) into chain order.
 jb = int_to_bits(2, n)
 amp = complex(coefficient(psi_z, interleave_bits(jb, jb)))
 print(f"amplitude check: {amp.real:.6f} vs x[2] = {x[2]:.6f}")
+
+# ## The zT circuit
+#
+# The sampled transform coefficients are
+#
+#   chi(k, l) = (1/2^n) sum_j x_j e^{-(wr k / 2^n) j} e^{-i (wi l / 2^n) j}
+#   s(k, l)   = (wr k + i wi l) / 2^n,     z(k, l) = e^{-s(k, l)}.
+#
+# The imaginary part of s sweeps the angle 0..2*pi (for wi = 2*pi) — the
+# angular scan; the real part sweeps the radius from 1 down to e^{-wr} —
+# the radial scan. Points ON the unit circle (k = 0) are pure
+# oscillations; points inside (k > 0) are damped modes. Sampling at the
+# origin would need wr -> infinity (infinitely damped).
+#
+# The operator factors as W_zt = W_qft_paired ∘ W_dt: the DT block
+# contributes the damping e^{-wr k j / 2^n} (controlled non-unitary), the
+# paired QFT contributes the phase e^{-i 2 pi l j / 2^n}. Its gate
+# primitives, in the quantics representation of j, k, l
+# (circuits/dt_gates.py, circuits/zt_gates.py):
+#
+#   H_d = (1/sqrt 2) [[1, 1], [1, e^{-wr/2}]]        damping Hadamard
+#   H   = (1/sqrt 2) [[1, 1], [1, -1]]               Hadamard
+#   R_lm = diag(1, e^{-wr / 2^{m-l+1}})              controlled damping
+#   P_lm = diag(1, e^{-2 pi i / 2^{m-l+1}})          controlled phase
+#
+# Controlled versions leave the target untouched when the control is |0>
+# and apply the damping/phase factor when it is |1>.
+#
+# Sign convention: the -i phase convention is used in the zT/QFT blocks,
+# so z(k, l) = r_k e^{-i theta_l} and Im z(k, l) = -r_k sin(theta_l).
 
 # ## Build and apply the zT operator (wr = wi = 2*pi)
 wr = 2 * np.pi
@@ -69,6 +120,9 @@ W = build_zt_mpo(n, wr, cutoff=1e-14)
 out = apply(W, psi_z)
 
 # ## All 16 coefficients in one vmapped readout; compare to the analytic grid
+#
+# chi(k, l) lives at the interleaved LSB-first (k, l) configuration
+# (transform outputs are bit-reversed); chi_grid does the addressing.
 grid = np.asarray(chi_grid(out, np.arange(N), np.arange(N)))
 j = np.arange(N)
 ref = np.array(
@@ -79,6 +133,22 @@ ref = np.array(
     ]
 )
 print("max |chi - analytic|:", np.abs(grid - ref).max())
+
+# Full per-point comparison table (reference zt.jl:197-208):
+print(f"  {'(k,l)':<8}  {'chi_num':<22}  {'chi_exact':<22}  {'rel err':>9}")
+print("-" * 70)
+for k in range(N):
+    for l in range(N):
+        g, r_ = grid[k, l], ref[k, l]
+        rel = abs(g - r_) / max(abs(r_), np.finfo(np.float64).eps)
+        print(f"  ({k},{l})     {g.real:+.5f}{g.imag:+.5f}i   "
+              f"{r_.real:+.5f}{r_.imag:+.5f}i   {rel:9.2e}")
+
+# The z-plane addresses of the same grid (z = e^{-s}):
+zs_small = np.array(
+    [[complex(z_from_kl(k, l, n, wr)) for l in range(N)] for k in range(N)]
+)
+print("z grid =\n", np.round(zs_small, 4))
 
 # ## The three-stage search
 #
@@ -101,6 +171,26 @@ print("max |chi - analytic|:", np.abs(grid - ref).max())
 # build program; on TPU both scans run through the fused Pallas readout.
 
 # ## Pole identification at scale: n = 10, poles near the unit circle
+#
+# The small grid above is too pixelated to resolve pole structure. Pole
+# identification is the flagship application: given a black-box system
+# response (generally non-unitary — the signal decays), the pole locations
+# in the z-plane characterize the system, the bread and butter of system
+# identification and control engineering.
+#
+# The test signal is a COMPLEX damped oscillation with two poles,
+#
+#   x_j = a^j cos(w0 j),   a = |a| e^{i phi},
+#
+# where the complex amplitude deliberately breaks the +/- w0 symmetry the
+# real cosine would have about the real axis. The continuum-limit pole
+# targets are
+#
+#   z_+- = (1/a) e^{+-i w0}.
+#
+# (The reference runs this at n = 20; the executable tutorial keeps n = 10
+# so CI stays fast — tests/test_scan.py covers n = 20 under
+# QILAPLACE_PARITY_FULL=1, and bench.py exercises n = 30 on the TPU.)
 n_big = 10
 N_big = 2**n_big
 a_big = 1.001 * np.exp(1j * 0.002)
@@ -111,6 +201,30 @@ x_big = (a_big**jj) * np.cos(w0_big * jj)
 psi_big = signal_ztmps(
     x_big, method="rsvd", k=50, p=5, q=2, cutoff=1e-12, maxdim=64
 )
+
+# What should the transform look like? The finite-sample closed form is a
+# geometric sum per pole: with gamma_+- = a e^{+-i w0} and z the scan point,
+#
+#   chi(z) = (1/2N) [ (1 - (gamma_+ z)^N) / (1 - gamma_+ z)
+#                   + (1 - (gamma_- z)^N) / (1 - gamma_- z) ].
+#
+# Note this FINITE series has no actual pole — the divergence only
+# develops in the N -> infinity limit. A finite, sampled transform shows a
+# sharp |chi| ridge near the analytic z_+- instead, which is exactly what
+# peak-finding locates.
+
+
+def chi_finite_reference(z, gamma_p, gamma_m, Nloc):
+    s1 = (1 - (gamma_p * z) ** Nloc) / (1 - gamma_p * z)
+    s2 = (1 - (gamma_m * z) ** Nloc) / (1 - gamma_m * z)
+    return 0.5 / Nloc * (s1 + s2)
+
+
+# The three-stage cascade. Stage grids: coarse samples 128 x 128 strided
+# points of the full disk at wr = 2*pi; fine rebuilds the MPO at a smaller
+# wr so the same 2^n radial shells concentrate near |z| = 1 (where the
+# physical poles of a near-marginal signal live) and scans a window around
+# the remapped coarse peak; superfine scans stride-1 around the fine peak.
 res = coarse_to_fine_pole_search(
     psi_big, coarse_points=128, fine_points=64, superfine_half=12,
     cutoff=1e-12, maxdim=64,
@@ -121,7 +235,33 @@ print(f"coarse peak    z = {complex(res.coarse.z_peak):.6f}")
 print(f"fine peak      z = {complex(res.fine.z_peak):.6f}")
 print(f"superfine peak z = {z_hat:.6f}")
 print(f"analytic poles   = {z_analytic[0]:.6f}, {z_analytic[1]:.6f}")
-print("error:", min(abs(z_hat - zp) for zp in z_analytic))
+err_pole = min(abs(z_hat - zp) for zp in z_analytic)
+print("error:", err_pole)
+
+# Cross-check the scanned peak value against the finite-series closed form
+# at the same z (they agree to the truncation budget — the ridge is real,
+# not a numerical artifact):
+gamma_p = a_big * np.exp(1j * w0_big)
+gamma_m = a_big * np.exp(-1j * w0_big)
+chi_peak_ref = chi_finite_reference(z_hat, gamma_p, gamma_m, N_big)
+chi_peak_got = complex(
+    np.asarray(res.superfine.chi)[
+        tuple(np.unravel_index(
+            np.abs(np.asarray(res.superfine.chi)).argmax(),
+            np.asarray(res.superfine.chi).shape,
+        ))
+    ]
+)  # chi values include the signal amplitude (coefficient_batch)
+print(f"|chi| at peak: scanned {abs(chi_peak_got):.6e} "
+      f"vs closed form {abs(chi_peak_ref):.6e}")
+
+# Why the detected peak is NOT exactly on z_+-: the transform is a finite,
+# discretized z-transform of a sampled signal, while the analytic pole
+# formula describes the ideal infinite series. The method captures the pole
+# signature correctly; finite sampling and grid resolution leave a small,
+# resolution-limited offset (here ~|z|/N-scale) that shrinks as the signal
+# gets longer and the grid finer — increase n and tighten the superfine
+# window to drive it down.
 
 # ## Pole-scan figures
 #

@@ -49,6 +49,11 @@ from qilaplace_tpu.signals.encode import signal_mps, signal_ztmps
 from qilaplace_tpu.transforms.qft import build_qft_mpo
 from qilaplace_tpu.transforms.dt import build_dt_mpo
 from qilaplace_tpu.transforms.zt import build_zt_mpo
+from qilaplace_tpu.transforms.analytic import (
+    analytic_dt_mpo,
+    analytic_qft_mpo,
+    analytic_zt_mpo,
+)
 from qilaplace_tpu.scan.pole_scan import (
     chi_grid,
     z_from_kl,
@@ -88,6 +93,9 @@ __all__ = [
     "build_qft_mpo",
     "build_dt_mpo",
     "build_zt_mpo",
+    "analytic_qft_mpo",
+    "analytic_dt_mpo",
+    "analytic_zt_mpo",
     "chi_grid",
     "z_from_kl",
     "kl_from_z",

@@ -181,10 +181,16 @@ def _sketched_svd(M: jax.Array, l: int, power_iters: int,
         ).astype(M.dtype)
     else:
         Om = jax.random.normal(key, (b, l), dtype=M.dtype)
-    Q, _ = gram_orthonormalize(M @ Om, sweeps=sweeps)
+    # 8*eps relative-lambda mask floor (range_split's rationale): the default
+    # eps*l floor would discard every direction below sqrt(eps*l)*s_max,
+    # capping the capture far above the truncation scales the fast profiles
+    # run at. Three Newton-Schulz passes absorb the larger whitening defect.
+    eps8 = 8.0 * float(jnp.finfo(M.real.dtype).eps) / l
+    Q, _ = gram_orthonormalize(M @ Om, eps=eps8, sweeps=sweeps, ns_steps=3)
     for _ in range(power_iters):
-        Q, _ = gram_orthonormalize(jnp.conj(M.T) @ Q, sweeps=sweeps)
-        Q, _ = gram_orthonormalize(M @ Q, sweeps=sweeps)
+        Q, _ = gram_orthonormalize(jnp.conj(M.T) @ Q, eps=eps8, sweeps=sweeps,
+                                   ns_steps=3)
+        Q, _ = gram_orthonormalize(M @ Q, eps=eps8, sweeps=sweeps, ns_steps=3)
     B = jnp.conj(Q.T) @ M  # [l, b]
     Ub, s, Vh = _gram_svd(B, sweeps=sweeps, polish=polish)
     U = Q @ Ub
@@ -252,7 +258,13 @@ def truncated_svd(M: jax.Array, *, cutoff=0.0, maxdim=None, mindim=1,
         rank = truncation_rank(s, cutoff, maxdim, mindim, noise_floor=nf)
     else:
         l = min(k, _round8(maxdim + min(32, max(8, maxdim // 4))))
-        if k <= max(64, (5 * l) // 4):
+        # The sketch's range capture floors at ~sqrt(8*eps)*s_max (the Gram
+        # orthonormalization mask; see _sketched_svd) — fine for the fast/f32
+        # profiles, but the tight-f64 parity path needs truncations accurate
+        # to ~1e-10*s_max (measured: routing the n=5 forced-device build
+        # through the sketch floors the pipeline at 8.5e-8 regardless of
+        # cutoff), so it always takes the complete-Gram route.
+        if k <= max(64, (5 * l) // 4) or not (fast or f32):
             U, s, Vh = _gram_svd(
                 M,
                 sweeps=fast_sweeps(k) if (fast or f32) else None,

@@ -147,13 +147,6 @@ def _tt_rsvd(x, n: int, key, *, cutoff: float, maxdim: int, k: int, p: int, q: i
     return cores, ranks
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "method", "cutoff", "maxdim", "k", "p", "q", "seed", "chi"
-    ),
-)
-@highest_precision
 def signal_mps(
     x,
     *,
@@ -170,8 +163,42 @@ def signal_mps(
     (reference SignalConverters.signal_mps, :228-233).
 
     The original Euclidean norm is stored in ``.amplitude``; the tensor data
-    is unit-norm.
-    """
+    is unit-norm. ``method``: 'svd' (TT-SVD sweep), 'rsvd' (D&C randomized,
+    both device-jitted), or 'cross' (host-f64 cross-interpolation reading
+    O(n r^2) entries — signals/cross_encode.py; k/p/q are ignored and the
+    cross rank is capped at min(maxdim, 256))."""
+    if method == "cross":
+        from qilaplace_tpu.signals.cross_encode import signal_mps_cross
+
+        return signal_mps_cross(
+            x, cutoff=cutoff, maxdim=int(min(maxdim, 256)), chi=chi,
+            seed=seed,
+        )
+    return _signal_mps_jit(
+        x, method=method, cutoff=cutoff, maxdim=maxdim, k=k, p=p, q=q,
+        seed=seed, chi=chi,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "method", "cutoff", "maxdim", "k", "p", "q", "seed", "chi"
+    ),
+)
+@highest_precision
+def _signal_mps_jit(
+    x,
+    *,
+    method: str = "svd",
+    cutoff: float = 1e-15,
+    maxdim: int = 2**62,
+    k: int = 20,
+    p: int = 10,
+    q: int = 0,
+    seed: int = 1234,
+    chi: int | None = None,
+) -> MPS:
     x, amplitude, n = _prepare(x)
     if n == 0:
         raise ValueError("signal_mps: need at least 2 samples")
@@ -205,13 +232,6 @@ def signal_mps(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "method", "cutoff", "maxdim", "k", "p", "q", "seed", "chi"
-    ),
-)
-@highest_precision
 def signal_ztmps(
     x,
     *,
@@ -229,9 +249,42 @@ def signal_ztmps(
 
     Builds the SignalMPS, then fans out each physical leg onto a
     (main, copy) pair via the copy tensor delta(s, s_main, s_copy) and splits
-    with a truncated SVD, vmapped over sites.
+    with a truncated SVD, vmapped over sites. ``method='cross'`` routes to
+    the host-f64 cross-interpolation encoder (signals/cross_encode.py).
     """
-    psi = signal_mps(
+    if method == "cross":
+        from qilaplace_tpu.signals.cross_encode import signal_ztmps_cross
+
+        return signal_ztmps_cross(
+            x, cutoff=cutoff, maxdim=int(min(maxdim, 256)), chi=chi,
+            seed=seed,
+        )
+    return _signal_ztmps_jit(
+        x, cutoff=cutoff, maxdim=maxdim, chi=chi, method=method,
+        k=k, p=p, q=q, seed=seed,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "method", "cutoff", "maxdim", "k", "p", "q", "seed", "chi"
+    ),
+)
+@highest_precision
+def _signal_ztmps_jit(
+    x,
+    *,
+    cutoff: float = 1e-10,
+    maxdim: int = 2**62,
+    chi: int | None = None,
+    method: str = "svd",
+    k: int = 20,
+    p: int = 10,
+    q: int = 0,
+    seed: int = 1234,
+) -> ZTMPS:
+    psi = _signal_mps_jit(
         x, method=method, cutoff=cutoff, maxdim=maxdim, chi=chi,
         k=k, p=p, q=q, seed=seed,
     )
