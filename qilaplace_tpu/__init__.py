@@ -48,7 +48,7 @@ from qilaplace_tpu.signals.generate import generate_signal
 from qilaplace_tpu.signals.encode import signal_mps, signal_ztmps
 from qilaplace_tpu.transforms.qft import build_qft_mpo
 from qilaplace_tpu.transforms.dt import build_dt_mpo
-from qilaplace_tpu.transforms.zt import build_zt_mpo
+from qilaplace_tpu.transforms.zt import build_zt_mpo, zt_mpo
 from qilaplace_tpu.transforms.analytic import (
     analytic_dt_mpo,
     analytic_qft_mpo,
@@ -56,10 +56,12 @@ from qilaplace_tpu.transforms.analytic import (
 )
 from qilaplace_tpu.scan.pole_scan import (
     chi_grid,
+    chi_grid_direct,
     z_from_kl,
     kl_from_z,
     pole_scan,
     coarse_to_fine_pole_search,
+    tighten,
 )
 
 __version__ = "0.1.0"
@@ -93,12 +95,15 @@ __all__ = [
     "build_qft_mpo",
     "build_dt_mpo",
     "build_zt_mpo",
+    "zt_mpo",
     "analytic_qft_mpo",
     "analytic_dt_mpo",
     "analytic_zt_mpo",
     "chi_grid",
+    "chi_grid_direct",
     "z_from_kl",
     "kl_from_z",
     "pole_scan",
     "coarse_to_fine_pole_search",
+    "tighten",
 ]

@@ -28,7 +28,7 @@ from qilaplace_tpu.scan.pole_scan import (
 from qilaplace_tpu.signals.encode import signal_mps, signal_ztmps
 from qilaplace_tpu.transforms.dt import build_dt_mpo
 from qilaplace_tpu.transforms.qft import build_qft_mpo
-from qilaplace_tpu.transforms.zt import build_zt_mpo
+from qilaplace_tpu.transforms.zt import zt_mpo
 from qilaplace_tpu.utils.bits import jnp_int_to_bits, paired_config_from_kl
 
 
@@ -100,29 +100,46 @@ class DTPipeline:
 
 
 class ZTPipeline:
-    """Full z-transform with pole identification."""
+    """Full z-transform with pole identification.
+
+    Production defaults are the bench-grade fast path (round-3 verdict #1):
+    cross-interpolation encode (host f64, reads O(n r^2) signal entries —
+    callables with an ``n_bits`` attribute encode without materializing
+    2^n samples), the analytic rail-cross operator builder behind a
+    persistent per-(wr, n, cutoff) artifact cache, and the direct
+    <config|W|psi> readout whose roundoff stays relative to the path
+    product. ``engine="gate"`` restores the reference-parity layer fold.
+    """
 
     def __init__(self, n: int, *, chi: int = 128, cutoff: float = 1e-12,
-                 build_cutoff: float = 1e-12, dtype=jnp.complex64):
+                 build_cutoff: float = 1e-12, dtype=jnp.complex64,
+                 engine: str = "analytic", readout: str = "auto",
+                 cache: bool = True, cache_dir: str | None = None):
         self.n = n
         self.chi = chi
         self.cutoff = cutoff
         self.build_cutoff = build_cutoff
         self.dtype = dtype
+        self.engine = engine
+        self.readout = readout
+        self.cache = cache
+        self.cache_dir = cache_dir
         self._mpo_cache: dict = {}
 
     def mpo(self, wr: float):
         if wr not in self._mpo_cache:
-            self._mpo_cache[wr] = build_zt_mpo(
-                self.n, wr, cutoff=self.build_cutoff, maxdim=self.chi,
-                chi=self.chi, dtype=self.dtype
+            self._mpo_cache[wr] = zt_mpo(
+                self.n, wr, engine=self.engine, cutoff=self.build_cutoff,
+                maxdim=self.chi, chi=self.chi, dtype=self.dtype,
+                cache=self.cache, cache_dir=self.cache_dir,
             )
         return self._mpo_cache[wr]
 
-    def encode(self, x, *, method: str = "rsvd", **kw):
-        kw.setdefault("k", 50)
-        kw.setdefault("p", 5)
-        kw.setdefault("q", 2)
+    def encode(self, x, *, method: str = "cross", **kw):
+        if method == "rsvd":
+            kw.setdefault("k", 50)
+            kw.setdefault("p", 5)
+            kw.setdefault("q", 2)
         return signal_ztmps(x, method=method, cutoff=self.cutoff,
                             maxdim=self.chi, chi=self.chi, **kw)
 
@@ -132,10 +149,20 @@ class ZTPipeline:
     def chi_grid(self, psi_out, ks, ls):
         return chi_grid(psi_out, ks, ls)
 
+    def chi_grid_direct(self, psi_z, ks, ls, *, wr):
+        """Direct <config|W|psi> grid — no intermediate product state."""
+        from qilaplace_tpu.scan.pole_scan import chi_grid_direct, tighten
+
+        return chi_grid_direct(tighten(self.mpo(wr)), tighten(psi_z), ks, ls)
+
     def scan(self, psi_out, ks, ls, *, wr):
         return pole_scan(psi_out, ks, ls, wr=wr)
 
     def find_poles(self, psi_z, **kw):
-        kw.setdefault("cutoff", self.cutoff)
+        kw.setdefault("cutoff", self.build_cutoff)
         kw.setdefault("maxdim", self.chi)
+        kw.setdefault("engine", self.engine)
+        kw.setdefault("readout", self.readout)
+        kw.setdefault("cache", self.cache)
+        kw.setdefault("cache_dir", self.cache_dir)
         return coarse_to_fine_pole_search(psi_z, **kw)

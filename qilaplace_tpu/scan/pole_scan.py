@@ -20,10 +20,15 @@ import jax.numpy as jnp
 
 from qilaplace_tpu.core.mps import ZTMPS, coefficient_batch
 from qilaplace_tpu.ops.apply import apply, apply_coefficient_batch
-from qilaplace_tpu.transforms.zt import build_zt_mpo
+from qilaplace_tpu.transforms.zt import zt_mpo
 from qilaplace_tpu.utils.bits import paired_config_from_kl
 
 TWO_PI = 2.0 * jnp.pi
+
+# jitted readout entry points: repeated grids of the same shape (every scan
+# stage of every search) reuse the compiled program instead of re-tracing
+_read_batch = jax.jit(coefficient_batch)
+_read_direct = jax.jit(apply_coefficient_batch)
 
 
 def _pallas_readout_ok(psi_out) -> bool:
@@ -56,7 +61,7 @@ def chi_grid(psi_out: ZTMPS, ks, ls, *, use_pallas: bool | None = None) -> jax.A
 
         vals = coefficient_batch_pallas(psi_out, configs)
     else:
-        vals = coefficient_batch(psi_out, configs)
+        vals = _read_batch(psi_out, configs)
     return vals.reshape(ks.shape[0], ls.shape[0])
 
 
@@ -77,7 +82,7 @@ def chi_grid_direct(W, psi_z: ZTMPS, ks, ls) -> jax.Array:
     ls = jnp.asarray(ls)
     K, L = jnp.meshgrid(ks, ls, indexing="ij")
     configs = paired_config_from_kl(K.reshape(-1), L.reshape(-1), n)
-    vals = apply_coefficient_batch(W, psi_z, configs)
+    vals = _read_direct(W, psi_z, configs)
     return vals.reshape(ks.shape[0], ls.shape[0])
 
 
@@ -146,6 +151,28 @@ class PoleSearchResult:
         return self.superfine.z_peak
 
 
+def _tight_bucket(ranks, chi: int) -> int:
+    """Smallest multiple-of-8 bucket holding the realized ranks (the
+    direct-readout zipper's GEMMs scale with the PAD, not the rank)."""
+    r = int(jnp.max(ranks))
+    return min(chi, max(8, ((r + 7) // 8) * 8))
+
+
+def tighten(state):
+    """Repad a container to the tight chi bucket for its realized ranks
+    (host fetch of the int32 rank vector; orchestration-level only)."""
+    from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO, mpo_repad
+    from qilaplace_tpu.core.mps import repad
+
+    chain = state.chain if hasattr(state, "chain") else state
+    chi = _tight_bucket(chain.ranks, chain.chi)
+    if chi == chain.chi:
+        return state
+    if isinstance(state, (MPO, PairedSiteMPO)):
+        return mpo_repad(state, chi)
+    return repad(state, chi)
+
+
 def coarse_to_fine_pole_search(
     psi_z: ZTMPS,
     *,
@@ -158,7 +185,10 @@ def coarse_to_fine_pole_search(
     cutoff: float = 1e-12,
     maxdim: int = 128,
     apply_fused: bool = True,
-    readout: str = "apply",
+    readout: str = "auto",
+    engine: str = "analytic",
+    cache: bool = True,
+    cache_dir: str | None = None,
 ) -> PoleSearchResult:
     """Automated coarse -> fine -> superfine pole identification
     (the flagship workflow, reference docs/src/tutorials/zt.jl:296-411).
@@ -169,26 +199,42 @@ def coarse_to_fine_pole_search(
     superfine: stride-1 window of half-width ``superfine_half`` around the
                fine peak, reusing the fine transform.
 
-    ``readout="apply"`` forms the truncated product state once per transform
-    and batch-reads it (cheapest when many grids share one transform);
+    ``engine="analytic"`` (default) builds each transform by the
+    production rail-cross route; ``"gate"`` keeps the reference-parity
+    layer fold. ``cache=True`` loads/saves per-wr operator artifacts
+    (utils/io.cached_zt_mpo) so repeat searches skip the builds entirely.
+
     ``readout="direct"`` zipper-contracts <config| W |psi> per grid point
-    without the intermediate product (accuracy-first — see
-    :func:`chi_grid_direct`).
+    without the intermediate truncated product — roundoff stays relative
+    to the path product, which is what keeps f32 production scans at
+    reference-grade accuracy (see :func:`chi_grid_direct`);
+    ``readout="apply"`` forms the product state once per transform and
+    batch-reads it (~50x fewer flops per point, but its floor sits at
+    eps * ||W psi|| / peak — invisible in f64, ~1e-2 rel-peak in f32).
+    ``readout="auto"`` (default) picks "direct" for 32-bit states
+    (production) and "apply" for 64-bit states (parity studies), matching
+    each dtype's accuracy/cost frontier.
     """
     n = psi_z.n
     N = 2**n
+    wide = jnp.dtype(psi_z.chain.cores.dtype).itemsize >= 8
+    dtype = jnp.complex128 if wide else jnp.complex64
+    if readout == "auto":
+        readout = "apply" if wide else "direct"
+    psi_tight = tighten(psi_z) if readout == "direct" else psi_z
 
     def transform(wr):
-        W = build_zt_mpo(n, wr, cutoff=cutoff, maxdim=maxdim)
+        W = zt_mpo(n, wr, engine=engine, cutoff=cutoff, maxdim=maxdim,
+                   dtype=dtype, cache=cache, cache_dir=cache_dir)
         if readout == "direct":
-            return W
+            return tighten(W)
         if apply_fused:
             return apply(W, psi_z, maxdim=maxdim, cutoff=cutoff)
         return apply(W, psi_z)
 
     def scan_one(state, ks, ls, wr):
         if readout == "direct":
-            chi = chi_grid_direct(state, psi_z, ks, ls)
+            chi = chi_grid_direct(state, psi_tight, ks, ls)
             mag = jnp.abs(chi)
             flat = jnp.argmax(mag)
             i, j = jnp.unravel_index(flat, mag.shape)

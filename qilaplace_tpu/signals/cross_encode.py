@@ -143,6 +143,18 @@ def _host_cores_and_amp(x, *, cutoff, maxdim, seed, validate_tol):
     return cores, amp, n
 
 
+def _out_dtype(x, dtype):
+    """Output dtype rule: explicit ``dtype`` wins; array inputs keep their
+    own dtype (matching the device encoders — encode f32 signals as f32
+    and let complex MPOs upcast on contact); callables stay host-f64
+    (every arithmetic step of the cross ran in f64 anyway)."""
+    if dtype is not None or callable(x):
+        return dtype
+    d = getattr(x, "dtype", None)
+    kind = np.dtype(d) if d is not None else np.asarray(x).dtype
+    return kind if kind.kind in "fc" else None
+
+
 def signal_mps_cross(
     x,
     *,
@@ -163,6 +175,7 @@ def signal_mps_cross(
     cores, amp, _ = _host_cores_and_amp(
         x, cutoff=cutoff, maxdim=maxdim, seed=seed, validate_tol=validate_tol
     )
+    dtype = _out_dtype(x, dtype)
     if dtype is not None:
         cores = [c.astype(dtype) for c in cores]
     return MPS.from_core_list(cores, amplitude=amp, chi=chi)
@@ -184,6 +197,7 @@ def signal_ztmps_cross(
         x, cutoff=cutoff, maxdim=maxdim, seed=seed, validate_tol=validate_tol
     )
     pair = _compress_host(_fan_out_pairs(cores), cutoff, maxdim)
+    dtype = _out_dtype(x, dtype)
     if dtype is not None:
         pair = [c.astype(dtype) for c in pair]
     return ZTMPS(chain=MPS.from_core_list(pair, amplitude=amp, chi=chi))

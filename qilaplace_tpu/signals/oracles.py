@@ -129,6 +129,75 @@ def sin_decay_dft_oracle(
     return F / sin_decay_norm(n, freq=freq, decay_rate=decay_rate, dt=dt)
 
 
+def damped_sin_zt_oracle(
+    n: int,
+    ks,
+    ls,
+    *,
+    wr: float,
+    ws,
+    lams,
+    phs,
+    amps,
+    wi: float = TWO_PI,
+) -> np.ndarray:
+    """chi(k, l) of the UNIT-NORM multi-term damped sinusoid
+    x_j = sum_t amps[t] sin(ws[t] j + phs[t]) e^{-lams[t] j} — the closed
+    form behind every generate_signal family built from damped sines
+    (sin, sin_decay, multi_sin, multi_sin_exp). Each term contributes two
+    geometric series; the -wi*l phase is dropped exactly when wi == 2 pi
+    and l is integral (see module docstring). Returns complex128
+    [len(ks)]."""
+    N = 2**n
+    ks = np.asarray(ks, dtype=np.float64)
+    l_int = np.asarray(ls)
+    if abs(wi - TWO_PI) < 1e-15 and np.issubdtype(l_int.dtype, np.integer):
+        im_shift = 0.0
+    else:
+        im_shift = -np.mod(wi * np.asarray(l_int, np.float64), TWO_PI)
+    lf = np.asarray(l_int, np.float64)
+    chi = np.zeros(ks.shape, dtype=np.complex128)
+    for w_t, lam_t, ph_t, a_t in zip(
+        np.atleast_1d(ws), np.atleast_1d(lams),
+        np.atleast_1d(phs), np.atleast_1d(amps),
+    ):
+        re_u = -lam_t - wr * ks / N
+        g_p = _geom(re_u, w_t - wi * lf / N, re_u * N, w_t * N + im_shift)
+        g_m = _geom(re_u, -w_t - wi * lf / N, re_u * N, -w_t * N + im_shift)
+        chi += (a_t / 2j) * (
+            np.exp(1j * ph_t) * g_p - np.exp(-1j * ph_t) * g_m
+        )
+    chi = chi / N
+    return chi / damped_sin_norm(n, ws=ws, lams=lams, phs=phs, amps=amps)
+
+
+def damped_sin_norm(n: int, *, ws, lams, phs, amps) -> float:
+    """||x||_2 of the multi-term damped sinusoid, in closed form: each
+    (t, t') pair expands into two cosine geometric series via
+    sin A sin B = [cos(A - B) - cos(A + B)] / 2 and
+    sum_j cos(Om j + Ph) e^{-c j} = Re[e^{i Ph} G(i Om - c)]."""
+    N = 2**n
+    ws = np.atleast_1d(np.asarray(ws, np.float64))
+    lams = np.atleast_1d(np.asarray(lams, np.float64))
+    phs = np.atleast_1d(np.asarray(phs, np.float64))
+    amps = np.atleast_1d(np.asarray(amps, np.float64))
+
+    def cos_series(om, ph, c):
+        g = _geom(np.asarray(-c), np.asarray(om), np.asarray(-c * N),
+                  np.asarray(om * N))
+        return float(np.real(np.exp(1j * ph) * g))
+
+    total = 0.0
+    for t in range(len(ws)):
+        for u in range(len(ws)):
+            c = lams[t] + lams[u]
+            total += (amps[t] * amps[u] / 2.0) * (
+                cos_series(ws[t] - ws[u], phs[t] - phs[u], c)
+                - cos_series(ws[t] + ws[u], phs[t] + phs[u], c)
+            )
+    return float(np.sqrt(max(total, 0.0)))
+
+
 def sin_decay_norm(
     n: int, *, freq: float = 2.0, decay_rate: float = 0.5,
     dt: float | None = None,

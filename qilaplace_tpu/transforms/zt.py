@@ -260,3 +260,53 @@ def build_zt_mpo(
         polish="reverse",
         zip_mode="range" if cutoff >= 1e-10 else "svd",
     )
+
+
+def zt_mpo(
+    n: int,
+    wr: float,
+    *,
+    engine: str = "analytic",
+    cutoff: float = 1e-12,
+    maxdim: int = 160,
+    chi: int | None = None,
+    dtype=np.complex64,
+    cache: bool = True,
+    cache_dir: str | None = None,
+    device=None,
+    chi_work: int | None = None,
+) -> PairedSiteMPO:
+    """Production zT MPO entry point: engine dispatch + artifact cache.
+
+    ``engine="analytic"`` (default) evaluates the closed-form kernel by
+    rail cross-interpolation + exact Schmidt-product compression
+    (transforms/analytic.py) — sub-second host f64 at n=30, every core
+    entry f64-accurate. ``engine="gate"`` folds the ~3n gate layers on the
+    compute device like the reference (src/transforms/zt_transformer.jl:
+    41-106) — kept for bond-plateau parity studies.
+
+    ``cache=True`` persists the finished operator as an .npz artifact
+    keyed on (engine, n, wr, cutoff, maxdim, chi, dtype) so repeated
+    builds (pole-scan drivers rebuild per wr; benches per process) are a
+    ~10 ms load (utils/io.cached_zt_mpo).
+    """
+    if engine not in ("analytic", "gate"):
+        raise ValueError(
+            f"zt_mpo: unknown engine {engine!r}; use 'analytic' or 'gate'"
+        )
+    if cache:
+        from qilaplace_tpu.utils.io import cached_zt_mpo
+
+        W, _ = cached_zt_mpo(
+            n, wr, cutoff=cutoff, maxdim=maxdim, chi=chi, dtype=dtype,
+            chi_work=chi_work, cache_dir=cache_dir, device=device,
+            engine=engine,
+        )
+        return W
+    if engine == "analytic":
+        from qilaplace_tpu.transforms.analytic import analytic_zt_mpo
+
+        return analytic_zt_mpo(n, wr, cutoff=cutoff, maxdim=maxdim,
+                               chi=chi, dtype=dtype)
+    return build_zt_mpo(n, wr, cutoff=cutoff, maxdim=maxdim, chi=chi,
+                        dtype=dtype, chi_work=chi_work)

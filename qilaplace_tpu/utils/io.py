@@ -55,8 +55,11 @@ def _join(prefix: str, data, device=None):
     return jax.device_put(data[prefix], device)
 
 
-def save(path: str, obj) -> None:
-    """Save an MPS / ZTMPS / MPO / PairedSiteMPO to ``path`` (.npz)."""
+def save(path: str, obj, *, compress: bool = True) -> None:
+    """Save an MPS / ZTMPS / MPO / PairedSiteMPO to ``path`` (.npz).
+
+    ``compress=False`` writes a plain .npz (no deflate) — the right choice
+    for warm-path artifact caches, where load latency is the budget."""
     out: dict = {}
     if isinstance(obj, (ZTMPS, PairedSiteMPO)):
         kind = type(obj).__name__
@@ -69,7 +72,47 @@ def save(path: str, obj) -> None:
     out["ranks"] = np.asarray(chain.ranks)
     if hasattr(chain, "amplitude"):
         _split("amplitude", chain.amplitude, out)
-    np.savez_compressed(path, **out)
+    (np.savez_compressed if compress else np.savez)(path, **out)
+
+
+def default_cache_dir() -> str:
+    """MPO artifact cache directory (env ``QILAPLACE_MPO_CACHE`` overrides;
+    the analog of the reference benchmarks' resumable JLD2 artifact store,
+    scripts/benchmark/common.jl:195-221, applied to the operator itself)."""
+    import os
+
+    return os.environ.get(
+        "QILAPLACE_MPO_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "qilaplace_mpo"),
+    )
+
+
+def cached_mpo(name: str, build_fn, *, cache_dir: str | None = None,
+               device=None):
+    """Generic persistent .npz MPO artifact cache: load ``<cache_dir>/
+    <name>.npz`` if present, else run ``build_fn()``, persist, return.
+    Returns ``(W, cache_hit)``. Artifacts are atomic (tmp + rename) so
+    concurrent builders never observe a torn file."""
+    import os
+    import tempfile
+
+    if cache_dir is None:
+        cache_dir = default_cache_dir()
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, name + ".npz")
+    if os.path.exists(path):
+        return load(path, device=device), True
+    W = build_fn()
+    fd, tmp = tempfile.mkstemp(suffix=".npz", dir=cache_dir)
+    os.close(fd)
+    try:
+        save(tmp, W, compress=False)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return W, False
 
 
 def cached_zt_mpo(
@@ -78,44 +121,100 @@ def cached_zt_mpo(
     *,
     cutoff: float,
     maxdim: int,
-    chi: int,
+    chi: int | None = None,
     dtype=np.complex64,
     chi_work: int | None = None,
     cache_dir: str | None = None,
     device=None,
+    engine: str = "gate",
 ):
-    """``build_zt_mpo`` with a persistent .npz artifact cache.
+    """zT MPO builder with a persistent .npz artifact cache.
 
-    The zT operator depends only on ``(n, wr, cutoff, maxdim, chi, dtype,
-    chi_work)`` — not on the signal — so repeated runs (pole-scan drivers
-    rebuild per wr; benches rebuild per process) can load the committed
-    artifact instead of re-folding ~3n gate layers. This is the analog of
-    the reference benchmarks' resumable JLD2 artifacts
-    (scripts/benchmark/common.jl:195-221) applied to the operator itself.
-    Returns ``(W, cache_hit)``.
+    The zT operator depends only on ``(engine, n, wr, cutoff, maxdim, chi,
+    dtype, chi_work)`` — not on the signal — so repeated runs (pole-scan
+    drivers rebuild per wr; benches rebuild per process) load the artifact
+    instead of rebuilding. ``engine``: "gate" (reference-parity layer fold,
+    transforms/zt.py) or "analytic" (production rail-cross builder,
+    transforms/analytic.py). Returns ``(W, cache_hit)``.
     """
-    import os
-
-    from qilaplace_tpu.transforms.zt import build_zt_mpo
-
-    if cache_dir is None:
-        cache_dir = os.environ.get(
-            "QILAPLACE_MPO_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "qilaplace_mpo"),
-        )
-    os.makedirs(cache_dir, exist_ok=True)
     name = (
-        f"zt_n{n}_wr{float(wr):.12g}_c{float(cutoff):.6g}_m{int(maxdim)}"
-        f"_chi{int(chi)}_{np.dtype(dtype).name}"
-        f"_w{0 if chi_work is None else int(chi_work)}.npz"
+        f"zt_{engine}_n{n}_wr{float(wr):.12g}_c{float(cutoff):.6g}"
+        f"_m{int(maxdim)}_chi{0 if chi is None else int(chi)}"
+        f"_{np.dtype(dtype).name}"
+        f"_w{0 if chi_work is None else int(chi_work)}"
     )
-    path = os.path.join(cache_dir, name)
-    if os.path.exists(path):
-        return load(path, device=device), True
-    W = build_zt_mpo(n, wr, cutoff=cutoff, maxdim=maxdim, chi=chi,
-                     dtype=dtype, chi_work=chi_work)
-    save(path, W)
-    return W, False
+
+    def build():
+        if engine == "analytic":
+            from qilaplace_tpu.transforms.analytic import analytic_zt_mpo
+
+            return analytic_zt_mpo(n, wr, cutoff=cutoff, maxdim=maxdim,
+                                   chi=chi, dtype=dtype)
+        if engine == "gate":
+            from qilaplace_tpu.transforms.zt import build_zt_mpo
+
+            return build_zt_mpo(n, wr, cutoff=cutoff, maxdim=maxdim,
+                                chi=chi, dtype=dtype, chi_work=chi_work)
+        raise ValueError(
+            f"cached_zt_mpo: unknown engine {engine!r}; "
+            "use 'analytic' or 'gate'"
+        )
+
+    return cached_mpo(name, build, cache_dir=cache_dir, device=device)
+
+
+def ship(obj, device, *, dtype=jnp.complex64):
+    """Place a container on ``device`` via SPLIT real/imag transfers.
+
+    The tunneled TPU backend cannot transfer complex buffers (and complex
+    transfer errors surface lazily, wedging the relay) — so complex cores
+    are fetched to host as f32 halves, shipped separately, and recombined
+    INSIDE a jitted program on the target device. Real cores ship directly.
+    Works for MPS / ZTMPS / MPO / PairedSiteMPO; ranks/amplitude ship as
+    int32/f32."""
+    if isinstance(obj, (ZTMPS, PairedSiteMPO)):
+        chain = obj.chain
+    else:
+        chain = obj
+    cores = chain.cores
+    tgt = jnp.dtype(dtype)
+    half = (
+        jnp.float64
+        if tgt in (jnp.dtype(jnp.float64), jnp.dtype(jnp.complex128))
+        else jnp.float32
+    )
+    if np.dtype(cores.dtype).kind == "c":
+        re = np.asarray(jnp.real(cores), half)
+        if tgt.kind == "f":
+            cores_d = jax.device_put(re.astype(tgt), device)
+        else:
+            im = np.asarray(jnp.imag(cores), half)
+            combine = jax.jit(
+                lambda a, b: jax.lax.complex(a, b).astype(dtype),
+                device=device,
+            )
+            cores_d = combine(jax.device_put(re, device),
+                              jax.device_put(im, device))
+    else:
+        host = np.asarray(cores)
+        if tgt.kind == "c":
+            upcast = jax.jit(lambda a: a.astype(dtype), device=device)
+            cores_d = upcast(jax.device_put(host.astype(half), device))
+        else:
+            cores_d = jax.device_put(host.astype(tgt), device)
+    ranks_d = jax.device_put(np.asarray(chain.ranks, np.int32), device)
+    if hasattr(chain, "amplitude"):
+        amp = jax.device_put(
+            np.float32(np.real(np.asarray(chain.amplitude))), device
+        )
+        new_chain = MPS(cores=cores_d, ranks=ranks_d, amplitude=amp)
+    else:
+        new_chain = MPO(cores=cores_d, ranks=ranks_d)
+    if isinstance(obj, ZTMPS):
+        return ZTMPS(chain=new_chain)
+    if isinstance(obj, PairedSiteMPO):
+        return PairedSiteMPO(chain=new_chain)
+    return new_chain
 
 
 def load(path: str, *, device=None):

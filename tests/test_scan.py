@@ -124,7 +124,98 @@ def test_coarse_to_fine_pole_search_direct_readout():
 
 
 import os as _os
+import time as _time
+
 import pytest as _pytest
+
+
+def test_public_api_flagship_n14_production_config():
+    # Round-3 verdict #1 "done" criterion: the bench-grade fast path
+    # (cross encode + analytic build + artifact cache + direct readout)
+    # reachable through the PUBLIC API in bench-class time. Production
+    # config: f32 signal -> c64 operators, readout auto-resolves "direct".
+    from qilaplace_tpu import signal_ztmps, coarse_to_fine_pole_search
+
+    n = 14
+    N = 2**n
+    lam, w0 = 1.0e-2 / N * 2**4, 4.08e-3 * 2**6
+    j = np.arange(N)
+    x = (np.exp(-lam * j) * np.sin(w0 * j)).astype(np.float32)
+    t0 = _time.perf_counter()
+    psi_z = signal_ztmps(x, method="cross", cutoff=1e-10, maxdim=128)
+    res = coarse_to_fine_pole_search(
+        psi_z,
+        coarse_points=64,
+        fine_points=64,
+        superfine_half=8,
+        cutoff=1e-12,
+        maxdim=128,
+    )
+    wall = _time.perf_counter() - t0
+    assert np.dtype(psi_z.chain.cores.dtype).itemsize == 4  # f32 in, direct
+    z_poles = [np.exp(-lam + 1j * w0), np.exp(-lam - 1j * w0)]
+    err = min(abs(complex(res.z_pole) - zp) for zp in z_poles)
+    # superfine resolution at wr_fine=0.5 is ~2pi/N in angle
+    assert err < 32 * 2 * np.pi / N, (complex(res.z_pole), z_poles, err)
+    # bench-class: the whole search (3 transforms + 3 grids) in seconds on
+    # ONE CPU core — generous bound so CI boxes never flake
+    assert wall < 180, wall
+
+
+def test_zt_mpo_artifact_cache(tmp_path):
+    # zt_mpo(cache=True) persists per-(engine, n, wr, ...) artifacts; the
+    # warm load returns the identical operator in ~ms (verdict #1/#2)
+    from qilaplace_tpu import zt_mpo
+
+    n, wr = 8, 2 * np.pi
+    t0 = _time.perf_counter()
+    W1 = zt_mpo(n, wr, cutoff=1e-12, maxdim=128, dtype=np.complex128,
+                cache_dir=str(tmp_path))
+    t_cold = _time.perf_counter() - t0
+    assert len(list(tmp_path.glob("zt_analytic_*.npz"))) == 1
+    t0 = _time.perf_counter()
+    W2 = zt_mpo(n, wr, cutoff=1e-12, maxdim=128, dtype=np.complex128,
+                cache_dir=str(tmp_path))
+    t_warm = _time.perf_counter() - t0
+    assert np.allclose(np.asarray(W1.chain.cores), np.asarray(W2.chain.cores))
+    assert np.array_equal(np.asarray(W1.chain.ranks), np.asarray(W2.chain.ranks))
+    assert t_warm < max(0.5, 0.5 * t_cold), (t_cold, t_warm)
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("QILAPLACE_PARITY_FULL"),
+    reason="flagship n=30 public-API run is env-gated (QILAPLACE_PARITY_FULL=1)",
+)
+def test_public_api_flagship_n30_production_config():
+    # The bench headline regime through the PUBLIC API: n=30 callable
+    # signal (quantics function encoding — the 8 GiB vector is never
+    # materialized), analytic build, direct readout.
+    from qilaplace_tpu import signal_ztmps, coarse_to_fine_pole_search
+
+    n = 30
+    N = 2**n
+    freq, decay = 2.0, 0.5
+    dt = 1.0 / (freq * N)
+    w, lam = freq * dt, decay * dt
+
+    def f(j):
+        j = j.astype(np.float64)
+        return np.sin(w * j) * np.exp(-lam * j)
+
+    f.n_bits = n
+    psi_z = signal_ztmps(f, method="cross", cutoff=1e-10, maxdim=128)
+    res = coarse_to_fine_pole_search(
+        psi_z,
+        coarse_points=64,
+        fine_points=64,
+        superfine_half=8,
+        cutoff=1e-12,
+        maxdim=128,
+        readout="direct",
+    )
+    z_poles = [np.exp(-lam * 1.0 + 1j * w), np.exp(-lam - 1j * w)]
+    err = min(abs(complex(res.z_pole) - zp) for zp in z_poles)
+    assert err < 64 * 2 * np.pi / N, (complex(res.z_pole), err)
 
 
 def test_coarse_to_fine_pole_search_n20():
