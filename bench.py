@@ -101,6 +101,36 @@ def scan_samples(n):
     return ks, ls, cfg
 
 
+def multi_sin_exp_fn(n):
+    """The multi_sin_exp bench signal (generate_signal defaults: 10 seeded
+    damped sinusoids) as a closed-form callable + its oracle parameters —
+    the second accuracy family (round-3 verdict #5: 1.5e-6 must not be a
+    one-signal result)."""
+    import numpy as np
+
+    N = 2**n
+    dt = 1.0 / (2 * np.pi * N)  # generate_signal default freq = 2*pi
+    n_terms = 10
+    rng_a = np.random.default_rng(1001)
+    rng_w = np.random.default_rng(2002)
+    rng_l = np.random.default_rng(4004)
+    ak = rng_a.random(n_terms)
+    ak = ak / np.linalg.norm(ak)
+    wk = (40.0 * dt) * (rng_w.random(n_terms) - 0.5)
+    lk = (2.0 * dt) * rng_l.random(n_terms)
+
+    def f(j):
+        j = j.astype(np.float64)
+        out = np.zeros_like(j)
+        for a, w, lam in zip(ak, wk, lk):
+            out += a * np.sin(w * j) * np.exp(-lam * j)
+        return out
+
+    f.n_bits = n
+    f.oracle_params = dict(ws=wk, lams=lk, phs=np.zeros(n_terms), amps=ak)
+    return f
+
+
 def signal_fn(n):
     """The sin_decay bench signal as a closed-form entry function
     x_j = sin(w j) e^{-lam j}, w = freq * dt, lam = decay * dt,
@@ -139,25 +169,35 @@ def host_signal(n):
     return x
 
 
-def accuracy(n, got_re, got_im, ks, ls):
+def accuracy(n, got_re, got_im, ks, ls, oracle_params=None):
     """max |got - oracle| / peak |oracle| over the structured half of the
     scan (the random half sits below the truncation floor by construction
-    — comparing there measures the cutoff, not the pipeline)."""
+    — comparing there measures the cutoff, not the pipeline).
+    ``oracle_params=None`` means the sin_decay headline family; otherwise
+    the damped-sinusoid-sum closed form with the given term parameters."""
     import numpy as np
 
     from qilaplace_tpu.signals.oracles import (
+        damped_sin_norm,
+        damped_sin_zt_oracle,
         sin_decay_norm,
         sin_decay_zt_oracle,
     )
 
     h = N_SCAN // 2
-    want = sin_decay_zt_oracle(n, ks[:h], ls[:h], wr=WR, freq=FREQ,
-                               decay_rate=DECAY)
+    if oracle_params is None:
+        want = sin_decay_zt_oracle(n, ks[:h], ls[:h], wr=WR, freq=FREQ,
+                                   decay_rate=DECAY)
+        nrm = sin_decay_norm(n, freq=FREQ, decay_rate=DECAY)
+    else:
+        want = damped_sin_zt_oracle(n, ks[:h], ls[:h], wr=WR,
+                                    **oracle_params)
+        nrm = damped_sin_norm(n, **oracle_params)
     got = (
         np.asarray(got_re[:h], np.float64)
         + 1j * np.asarray(got_im[:h], np.float64)
     )
-    got = got / sin_decay_norm(n, freq=FREQ, decay_rate=DECAY)
+    got = got / nrm
     peak = np.abs(want).max()
     return float(np.abs(got - want).max() / peak), float(peak)
 
@@ -195,14 +235,17 @@ def make_step(readout, configs):
 
 
 def child_host_setup(n: int, mode: str) -> None:
-    """Host-f64 encode (cross) + build (analytic), apply + 4096-point scan
-    on the TPU ("tpu") or entirely on the host CPU ("cpu" last resort)."""
+    """Host-f64 encode + build through the PUBLIC library API
+    (signal_ztmps(method="cross"), zt_mpo(engine="analytic"), tighten,
+    utils.io.ship), apply + 4096-point scan on the TPU ("tpu") or entirely
+    on the host CPU ("cpu" last resort). The bench is a thin caller of the
+    same code path ZTPipeline/coarse_to_fine_pole_search run (round-3
+    verdict #1)."""
+    import tempfile
+
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO
-    from qilaplace_tpu.core.mps import MPS, ZTMPS
 
     if mode == "cpu":
         # pin BEFORE any device lookup: backend discovery dials the
@@ -226,43 +269,36 @@ def child_host_setup(n: int, mode: str) -> None:
         x = signal_fn(n)  # quantics function encoding: nothing materialized
         log("signal: closed-form callable (cross reads O(n r^2) entries)")
 
-    from qilaplace_tpu.signals.cross_encode import signal_ztmps_cross
-    from qilaplace_tpu.transforms.analytic import analytic_zt_mpo
-
-    combine = jax.jit(
-        lambda re, im: (re + 1j * im).astype(jnp.complex64), device=dev
+    from qilaplace_tpu import signal_ztmps, tighten
+    from qilaplace_tpu.transforms.analytic import (
+        zt_mpo_from_pack,
+        zt_product_pack,
     )
+    from qilaplace_tpu.utils.io import cached_zt_pack, ship
 
-    def setup_once():
-        # encode: host cross-interpolation (containers pinned to the host
-        # CPU backend; the tunneled device must never see complex or f64)
+    cache_dir = tempfile.mkdtemp(prefix="qilaplace_bench_mpo_")
+
+    def setup_once(cache: bool = False):
+        # encode + build on the host CPU backend (the tunneled device must
+        # never see complex or f64); the build produces the FACTOR PACK
+        # (rail B-forms + kept-pair indices, ~1.5 MB of f32 halves) and the
+        # kron cores are assembled ON DEVICE — the assembled operator
+        # (~16 MB split-f32) never crosses the tunnel
         with jax.default_device(cpu):
             t0 = time.perf_counter()
-            psi = signal_ztmps_cross(x, cutoff=PSI_CUTOFF, maxdim=CHI)
-            p_cores = np.asarray(psi.chain.cores, np.float32)
-            p_ranks = np.asarray(psi.chain.ranks, np.int32)
-            p_amp = np.float32(psi.chain.amplitude)
+            psi = tighten(signal_ztmps(x, method="cross", cutoff=PSI_CUTOFF,
+                                       maxdim=CHI))
             t_enc = time.perf_counter() - t0
             t0 = time.perf_counter()
-            W = analytic_zt_mpo(n, WR, cutoff=W_CUTOFF, maxdim=CHI,
-                                dtype=np.complex128)
-            w_re = np.asarray(W.chain.cores.real, np.float32)
-            w_im = np.asarray(W.chain.cores.imag, np.float32)
-            w_ranks = np.asarray(W.chain.ranks, np.int32)
+            if cache:
+                pack, _ = cached_zt_pack(n, WR, cutoff=W_CUTOFF, maxdim=CHI,
+                                         cache_dir=cache_dir)
+            else:
+                pack = zt_product_pack(n, WR, cutoff=W_CUTOFF, maxdim=CHI)
             t_build = time.perf_counter() - t0
-        # ship: split re/im f32 (complex host->device is UNIMPLEMENTED on
-        # the tunneled backend), combined into c64 in-program
         t0 = time.perf_counter()
-        psi_dev = ZTMPS(chain=MPS(
-            cores=jax.device_put(p_cores, dev),
-            ranks=jax.device_put(p_ranks, dev),
-            amplitude=jax.device_put(p_amp, dev),
-        ))
-        W_dev = PairedSiteMPO(chain=MPO(
-            cores=combine(jax.device_put(w_re, dev),
-                          jax.device_put(w_im, dev)),
-            ranks=jax.device_put(w_ranks, dev),
-        ))
+        psi_dev = ship(psi, dev, dtype=jnp.float32)
+        W_dev = zt_mpo_from_pack(pack, device=dev, dtype=jnp.complex64)
         jax.block_until_ready(W_dev.chain.cores)
         t_ship = time.perf_counter() - t0
         return psi_dev, W_dev, t_enc, t_build, t_ship
@@ -274,6 +310,7 @@ def child_host_setup(n: int, mode: str) -> None:
     log(f"warmup total (incl. compiles) {time.perf_counter() - t0:.2f}s "
         f"(encode {t_enc:.2f} build {t_build:.2f} ship {t_ship:.2f})")
 
+    # cold-build timing loop (the headline: nothing cached between reps)
     times, parts = [], []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -286,13 +323,54 @@ def child_host_setup(n: int, mode: str) -> None:
     t_enc, t_build, t_ship = parts[mid]
     t_apply = float(np.median(times)) - t_enc - t_build - t_ship
 
+    # warm-path build: persistent artifact cache (first call saves, later
+    # calls are a ~ms uncompressed npz load of the factor pack)
+    with jax.default_device(cpu):
+        cached_zt_pack(n, WR, cutoff=W_CUTOFF, maxdim=CHI,
+                       cache_dir=cache_dir)
+        warm = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            cached_zt_pack(n, WR, cutoff=W_CUTOFF, maxdim=CHI,
+                           cache_dir=cache_dir)
+            warm.append(time.perf_counter() - t0)
+    t_build_cache = float(np.median(warm))
+
+    # second accuracy family (same operator, signal-independent): the
+    # multi_sin_exp closed form — untimed, accuracy-only
+    x2 = multi_sin_exp_fn(n)
+    with jax.default_device(cpu):
+        psi2 = tighten(signal_ztmps(x2, method="cross", cutoff=PSI_CUTOFF,
+                                    maxdim=CHI))
+    psi2_dev = ship(psi2, dev, dtype=jnp.float32)
+    re2, im2 = step(W, psi2_dev, configs)
+    err2, _ = accuracy(n, np.asarray(re2), np.asarray(im2), ks, ls,
+                       oracle_params=x2.oracle_params)
+    log(f"second family (multi_sin_exp): max_err_rel_peak {err2:.3e}")
+
     emit(n, mode, t_enc, t_build, t_ship, t_apply, re_h, im_h, ks, ls, W,
          readout, setup_device="host-f64",
-         apply_device="cpu" if mode == "cpu" else "tpu")
+         apply_device="cpu" if mode == "cpu" else "tpu",
+         t_build_cache=t_build_cache, err2=err2, psi=psi)
+
+
+PEAK_F32_FLOPS = 49.2e12  # v5e MXU f32 peak estimate (bf16 197 TF / 4)
+
+
+def _scan_flops(n, W, psi):
+    """Flops of the direct-readout step: per site and per config the zipper
+    evaluates both output-bit branches, each summing two s-values of two
+    GEMM contractions (B*cw*cp*cw and B*cw*cp*cp complex MACs, 8 real
+    flops each) — the mechanical model the round-3 verdict asked for."""
+    cw = W.chain.chi
+    cp = psi.chain.chi
+    per_site = 2 * 2 * N_SCAN * cw * cp * (cw + cp) * 8
+    return 2 * n * per_site
 
 
 def emit(n, mode, t_enc, t_build, t_ship, t_apply, re_h, im_h, ks, ls, W,
-         readout, setup_device, apply_device, t_build_cache=None):
+         readout, setup_device, apply_device, t_build_cache=None,
+         err2=None, psi=None):
     import numpy as np
 
     t_total = t_enc + t_build + t_ship + t_apply
@@ -324,6 +402,19 @@ def emit(n, mode, t_enc, t_build, t_ship, t_apply, re_h, im_h, ks, ls, W,
     }
     if t_build_cache is not None:
         out["build_cache_s"] = round(t_build_cache, 4)
+        out["value_warm"] = round(
+            t_enc + t_build_cache + t_ship + t_apply, 6
+        )
+        out["vs_baseline_warm"] = round(BASELINE_S / out["value_warm"], 2)
+    if err2 is not None:
+        out["max_err_rel_peak_multi_sin_exp"] = round(err2, 10)
+    if psi is not None and readout == "direct":
+        flops = _scan_flops(n, W, psi)
+        out["scan_gflops"] = round(flops / 1e9, 1)
+        if apply_device == "tpu":
+            out["scan_mfu_est"] = round(
+                flops / max(t_apply, 1e-9) / PEAK_F32_FLOPS, 4
+            )
     print(json.dumps(out), flush=True)
 
 

@@ -5,6 +5,9 @@ from qilaplace_tpu.parallel.mesh import (
     batched_signal_mps,
     batched_qft_pipeline,
     sharded_chi_grid,
+    stack_mpos,
+    multi_mpo_chi_batch,
+    sharded_multi_scan,
     fit_mpo_step,
 )
 
@@ -15,5 +18,8 @@ __all__ = [
     "batched_signal_mps",
     "batched_qft_pipeline",
     "sharded_chi_grid",
+    "stack_mpos",
+    "multi_mpo_chi_batch",
+    "sharded_multi_scan",
     "fit_mpo_step",
 ]

@@ -26,8 +26,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from qilaplace_tpu.core.mps import MPS, coefficient_batch, norm
-from qilaplace_tpu.core.mpo import MPO
-from qilaplace_tpu.ops.apply import apply
+from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO, mpo_repad
+from qilaplace_tpu.ops.apply import apply, apply_coefficient_batch
 from qilaplace_tpu.signals.encode import signal_mps
 
 
@@ -90,6 +90,68 @@ def sharded_chi_grid(mesh: Mesh, psi, configs):
     psi = replicate(mesh, psi)
     f = jax.jit(coefficient_batch)
     return f(psi, configs)
+
+
+def stack_mpos(Ws, chi: int | None = None):
+    """Stack same-length MPOs into one leading-axis-batched container
+    (repadded to a common bucket first). The result is a valid vmap
+    operand: every leaf carries the batch axis."""
+    chains = [W.chain if isinstance(W, PairedSiteMPO) else W for W in Ws]
+    if chi is None:
+        chi = max(c.chi for c in chains)
+    chains = [c if c.chi == chi else mpo_repad(c, chi) for c in chains]
+    cores = jnp.stack([c.cores for c in chains])
+    ranks = jnp.stack([c.ranks for c in chains])
+    batched = MPO(cores=cores, ranks=ranks)
+    if isinstance(Ws[0], PairedSiteMPO):
+        return PairedSiteMPO(chain=batched)
+    return batched
+
+
+# vmapped direct readout: one program evaluates B grid points under EVERY
+# stacked operator (multi-wr pole scans) — the GEMM batch grows by the
+# operator count, which is what fills the MXU the single scan leaves idle
+_multi_direct = jax.jit(
+    jax.vmap(apply_coefficient_batch, in_axes=(0, None, None))
+)
+
+
+def multi_mpo_chi_batch(Ws_stacked, psi, configs) -> jax.Array:
+    """Direct <config| W_i |psi> for a STACKED operator batch: returns
+    [n_ops, B] coefficients. ``Ws_stacked`` comes from :func:`stack_mpos`;
+    one device program for all operators (multi-wr scans — the round-3
+    verdict's "put the idle chip to work" lever)."""
+    return _multi_direct(Ws_stacked, psi, configs)
+
+
+def sharded_multi_scan(mesh: Mesh, Ws_stacked, psi, configs) -> jax.Array:
+    """Multi-operator direct scan sharded over the mesh: the operator
+    batch rides ``dp``, the config batch rides ``grid``, psi is
+    replicated. ``n_ops`` must divide by the dp axis size and the config
+    count by the grid axis size (shard-shape requirement). Returns
+    [n_ops, B]."""
+    chain = (
+        Ws_stacked.chain
+        if isinstance(Ws_stacked, PairedSiteMPO)
+        else Ws_stacked
+    )
+    nd = {"cores": 6, "ranks": 2}
+    sharded_chain = MPO(
+        cores=jax.device_put(
+            chain.cores,
+            NamedSharding(mesh, P("dp", *([None] * (nd["cores"] - 1)))),
+        ),
+        ranks=jax.device_put(
+            chain.ranks, NamedSharding(mesh, P("dp", None))
+        ),
+    )
+    if isinstance(Ws_stacked, PairedSiteMPO):
+        Ws_stacked = PairedSiteMPO(chain=sharded_chain)
+    else:
+        Ws_stacked = sharded_chain
+    configs = jax.device_put(configs, NamedSharding(mesh, P("grid", None)))
+    psi = replicate(mesh, psi)
+    return _multi_direct(Ws_stacked, psi, configs)
 
 
 @partial(jax.jit, static_argnames=("lr",))

@@ -39,6 +39,9 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from qilaplace_tpu.core.mpo import MPO, PairedSiteMPO
 
 TWO_PI = 2.0 * np.pi
@@ -533,6 +536,28 @@ def _select_pairs(wa: np.ndarray, wb: np.ndarray, cutoff: float, maxdim: int):
     return kept // len(wb), kept % len(wb), dropped
 
 
+def _product_select(Db, lamD, Qb, lamQ, cutoff: float, maxdim: int):
+    """Kept pair sets of the product compression: ``pre[s]`` guards the
+    bond entering main_s, ``mid[s]`` the bond between main_s and copy_s.
+    Returns (pre, mid, err_bound, capped)."""
+    n = len(Db)
+    pre = [None] * (n + 1)
+    mid = [None] * n
+    pre[0] = (np.zeros(1, np.int64), np.zeros(1, np.int64), 0.0)
+    pre[n] = (np.zeros(1, np.int64), np.zeros(1, np.int64), 0.0)
+    err2 = 0.0
+    capped = False
+    for s in range(1, n):
+        pre[s] = _select_pairs(lamD[s], lamQ[s], cutoff, maxdim)
+        err2 += pre[s][2]
+        capped |= len(pre[s][0]) >= maxdim
+    for s in range(n):
+        mid[s] = _select_pairs(lamD[s + 1], lamQ[s], cutoff, maxdim)
+        err2 += mid[s][2]
+        capped |= len(mid[s][0]) >= maxdim
+    return pre, mid, float(np.sqrt(err2)), capped
+
+
 def _product_compress(D, Q, cutoff: float, maxdim: int):
     """Compress the EXACT interleave of two rails in one shot, using the
     tensor-product structure of the chain.
@@ -551,23 +576,9 @@ def _product_compress(D, Q, cutoff: float, maxdim: int):
     n = len(D)
     Db, lamD = _bform(D)
     Qb, lamQ = _bform(Q)
+    pre, mid, err, capped = _product_select(Db, lamD, Qb, lamQ, cutoff,
+                                            maxdim)
     v4 = np.arange(4)
-    # kept pair sets: pre[s] guards the bond entering main_s,
-    # mid[s] the bond between main_s and copy_s
-    pre = [None] * (n + 1)
-    mid = [None] * n
-    pre[0] = (np.zeros(1, np.int64), np.zeros(1, np.int64), 0.0)
-    pre[n] = (np.zeros(1, np.int64), np.zeros(1, np.int64), 0.0)
-    err2 = 0.0
-    capped = False
-    for s in range(1, n):
-        pre[s] = _select_pairs(lamD[s], lamQ[s], cutoff, maxdim)
-        err2 += pre[s][2]
-        capped |= len(pre[s][0]) >= maxdim
-    for s in range(n):
-        mid[s] = _select_pairs(lamD[s + 1], lamQ[s], cutoff, maxdim)
-        err2 += mid[s][2]
-        capped |= len(mid[s][0]) >= maxdim
     out = []
     for s in range(n):
         Pi, Pj, _ = pre[s]
@@ -580,7 +591,7 @@ def _product_compress(D, Q, cutoff: float, maxdim: int):
             Ri[:, None, None] == P2i[None, None, :]
         )
         out.extend([main, copy])
-    return out, float(np.sqrt(err2)), capped
+    return out, err, capped
 
 
 def _tt_inner(A, B) -> complex:
@@ -813,6 +824,164 @@ def analytic_zt_mpo(
     )
     last_report.update(frob_rel_err=frob, sampled_err=sampled)
     return PairedSiteMPO(chain=_as_mpo(cores, chi, dtype))
+
+
+def zt_product_pack(
+    n: int,
+    wr: float,
+    *,
+    cutoff: float = 1e-12,
+    maxdim: int = 160,
+    chi: int | None = None,
+    seed: int = 7,
+    validate_tol: float | None = None,
+) -> dict:
+    """Factor form of :func:`analytic_zt_mpo`: padded rail B-form stacks +
+    per-bond kept-pair index arrays (host numpy, ~20x smaller than the
+    assembled MPO). Ship THIS over thin host<->device links and assemble
+    the kron cores on the device in one jitted program
+    (:func:`assemble_product_cores`) — at n=30 the assembled operator is
+    ~16 MB of split-f32 transfer while the pack is ~1.5 MB.
+
+    The pack is validated exactly like the assembled builder (norm-frame
+    truncation guard + near-peak sampled kernel check on the host-
+    assembled cores)."""
+    from qilaplace_tpu.utils.config import bucket_for
+
+    rail_tol = _rail_tol(cutoff)
+    dmain_x = _cross_rail(
+        damp_rail_kernel(n, float(wr)), n, maxdim=64,
+        tol=rail_tol, tag="zt_pack/damp", seed=seed,
+    )
+    qcopy_x = _cross_rail(
+        qft_kernel(n), n, maxdim=48,
+        tol=rail_tol, tag="zt_pack/qft", seed=seed,
+    )
+    Db, lamD = _bform(dmain_x)
+    Qb, lamQ = _bform(qcopy_x)
+    pre, mid, bound, capped = _product_select(Db, lamD, Qb, lamQ, cutoff,
+                                              maxdim)
+    # validation on the host-assembled cores (cheap next to the rails)
+    v4 = np.arange(4)
+    cores = []
+    for s in range(n):
+        Pi, Pj, _ = pre[s]
+        Ri, Rj, _ = mid[s]
+        P2i, P2j, _ = pre[s + 1]
+        cores.append(Db[s][np.ix_(Pi, v4, Ri)]
+                     * (Pj[:, None, None] == Rj[None, None, :]))
+        cores.append(Qb[s][np.ix_(Rj, v4, P2j)]
+                     * (Ri[:, None, None] == P2i[None, None, :]))
+    frob = _guard_product(bound, capped, dmain_x, qcopy_x, cores,
+                          n_bonds=2 * n - 1, cutoff=cutoff, tag="zt_pack")
+    sampled = _validate_cross(
+        zt_kernel(n, float(wr)), cores, 2 * n, True, seed,
+        _auto_tol(validate_tol, cutoff, 2 * n), "zt_pack", mask_rel=1e-2,
+    )
+    last_report.update(frob_rel_err=frob, sampled_err=sampled)
+
+    if chi is None:
+        chi = bucket_for(max(
+            max(len(p[0]) for p in pre), max(len(m[0]) for m in mid)
+        ))
+    aD = bucket_for(max(max(c.shape[0] for c in Db),
+                        max(c.shape[2] for c in Db)))
+    bQ = bucket_for(max(max(c.shape[0] for c in Qb),
+                        max(c.shape[2] for c in Qb)))
+
+    def stack_rail(cs, m):
+        out = np.zeros((n, m, 4, m), dtype=np.complex128)
+        for s, c in enumerate(cs):
+            out[s, : c.shape[0], :, : c.shape[2]] = c
+        return out
+
+    def pack_idx(sets, rows):
+        i = np.zeros((rows, chi), np.int32)
+        j = np.zeros((rows, chi), np.int32)
+        ln = np.zeros((rows,), np.int32)
+        for s, (si, sj, _) in enumerate(sets):
+            r = len(si)
+            if r > chi:
+                raise ValueError("zt_product_pack: chi below realized rank")
+            i[s, :r] = si
+            j[s, :r] = sj
+            ln[s] = r
+        return i, j, ln
+
+    pre_i, pre_j, pre_len = pack_idx(pre, n + 1)
+    mid_i, mid_j, mid_len = pack_idx(mid, n)
+    ranks = np.ones((2 * n + 1,), np.int32)
+    ranks[0 : 2 * n : 2] = pre_len[:n]
+    ranks[1 : 2 * n : 2] = mid_len
+    return dict(
+        n=np.int32(n), wr=np.float64(wr),
+        D=stack_rail(Db, aD), Q=stack_rail(Qb, bQ),
+        pre_i=pre_i, pre_j=pre_j, pre_len=pre_len,
+        mid_i=mid_i, mid_j=mid_j, mid_len=mid_len,
+        ranks=ranks,
+    )
+
+
+@jax.jit
+def assemble_product_cores(D, Q, pre_i, pre_j, pre_len, mid_i, mid_j,
+                           mid_len):
+    """Assemble the interleaved zT cores [2n, chi, 2, 2, chi] from a
+    factor pack ON DEVICE: per site two gathers + an index-match mask —
+    no host transfer of the assembled operator. Padded lanes are zeroed
+    (the containers' zero-padding invariant)."""
+    chi = pre_i.shape[1]
+    lane = jnp.arange(chi)
+
+    def build(rail, li, lj, llen, ri, rj, rlen):
+        t = jnp.take(rail, li, axis=0)
+        t = jnp.take(t, ri, axis=2)
+        mask = (
+            (lj[:, None] == rj[None, :])
+            & (lane[:, None] < llen)
+            & (lane[None, :] < rlen)
+        )
+        return t * mask[:, None, :].astype(t.dtype)
+
+    mains = jax.vmap(build)(D, pre_i[:-1], pre_j[:-1], pre_len[:-1],
+                            mid_i, mid_j, mid_len)
+    copies = jax.vmap(build)(Q, mid_j, mid_i, mid_len,
+                             pre_j[1:], pre_i[1:], pre_len[1:])
+    n = D.shape[0]
+    cores = jnp.stack([mains, copies], axis=1).reshape(2 * n, chi, 4, chi)
+    return cores.reshape(2 * n, chi, 2, 2, chi)
+
+
+def zt_mpo_from_pack(pack: dict, *, device=None, dtype=None) -> PairedSiteMPO:
+    """Materialize a PairedSiteMPO from a factor pack, assembling the
+    cores on ``device`` (split re/im f32 transfer of the ~1.5 MB rails;
+    the tunneled TPU backend never sees complex or f64 buffers)."""
+    if dtype is None:
+        dtype = jnp.complex64
+    half = (
+        np.float64 if jnp.dtype(dtype) == jnp.dtype(jnp.complex128)
+        else np.float32
+    )
+    put = lambda a: jax.device_put(np.asarray(a), device)  # noqa: E731
+
+    def assemble(D_re, D_im, Q_re, Q_im, idx):
+        D = jax.lax.complex(D_re, D_im).astype(dtype)
+        Q = jax.lax.complex(Q_re, Q_im).astype(dtype)
+        return assemble_product_cores(D, Q, *idx)
+
+    idx = tuple(
+        put(pack[k].astype(np.int32))
+        for k in ("pre_i", "pre_j", "pre_len", "mid_i", "mid_j", "mid_len")
+    )
+    cores = jax.jit(assemble, device=device)(
+        put(pack["D"].real.astype(half)), put(pack["D"].imag.astype(half)),
+        put(pack["Q"].real.astype(half)), put(pack["Q"].imag.astype(half)),
+        idx,
+    )
+    from qilaplace_tpu.core.mpo import MPO as _MPO
+
+    return PairedSiteMPO(chain=_MPO(
+        cores=cores, ranks=put(pack["ranks"].astype(np.int32))
+    ))
 
 
 def analytic_dt_mpo(

@@ -163,6 +163,49 @@ def cached_zt_mpo(
     return cached_mpo(name, build, cache_dir=cache_dir, device=device)
 
 
+def cached_zt_pack(
+    n: int,
+    wr: float,
+    *,
+    cutoff: float,
+    maxdim: int,
+    chi: int | None = None,
+    seed: int = 7,
+    cache_dir: str | None = None,
+):
+    """zT factor pack (transforms/analytic.zt_product_pack) behind the
+    same persistent artifact cache as the assembled operators — the pack
+    is the right artifact for thin host<->device links (~20x smaller).
+    Returns ``(pack, cache_hit)``."""
+    import os
+    import tempfile
+
+    from qilaplace_tpu.transforms.analytic import zt_product_pack
+
+    if cache_dir is None:
+        cache_dir = default_cache_dir()
+    os.makedirs(cache_dir, exist_ok=True)
+    name = (
+        f"ztpack_n{n}_wr{float(wr):.12g}_c{float(cutoff):.6g}"
+        f"_m{int(maxdim)}_chi{0 if chi is None else int(chi)}_s{int(seed)}"
+    )
+    path = os.path.join(cache_dir, name + ".npz")
+    if os.path.exists(path):
+        return dict(np.load(path, allow_pickle=False)), True
+    pack = zt_product_pack(n, wr, cutoff=cutoff, maxdim=maxdim, chi=chi,
+                           seed=seed)
+    fd, tmp = tempfile.mkstemp(suffix=".npz", dir=cache_dir)
+    os.close(fd)
+    try:
+        np.savez(tmp, **pack)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return pack, False
+
+
 def ship(obj, device, *, dtype=jnp.complex64):
     """Place a container on ``device`` via SPLIT real/imag transfers.
 
@@ -184,11 +227,17 @@ def ship(obj, device, *, dtype=jnp.complex64):
         else jnp.float32
     )
     if np.dtype(cores.dtype).kind == "c":
-        re = np.asarray(jnp.real(cores), half)
+        # split ON THE HOST BACKEND: uncommitted complex arrays would
+        # otherwise dispatch jnp.real/imag on the default device, and the
+        # tunneled TPU cannot run (or fetch) complex programs
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            re = np.asarray(jnp.real(cores), half)
         if tgt.kind == "f":
             cores_d = jax.device_put(re.astype(tgt), device)
         else:
-            im = np.asarray(jnp.imag(cores), half)
+            with jax.default_device(cpu):
+                im = np.asarray(jnp.imag(cores), half)
             combine = jax.jit(
                 lambda a, b: jax.lax.complex(a, b).astype(dtype),
                 device=device,
