@@ -37,21 +37,52 @@ def _bit_sampler(n: int):
     return sampler
 
 
+class _EntryKernel:
+    """Signal entries as a d=2 cross kernel with factorized block
+    evaluation: the sample index decomposes additively over sites
+    (idx = idx_prefix + bit * 2^{n-1-s} + idx_suffix), so a
+    prefix x {0,1} x suffix block needs two tiny bit-weight sums and one
+    vectorized gather/evaluation — no per-row index matvecs.
+
+    ``scale`` multiplies the gathered entries — normalization happens
+    HERE, on the O(n r^2) entries the cross actually reads, never as a
+    full-vector divide (an 8 GiB temporary + 2^n flops at n = 30)."""
+
+    d = 2
+
+    def __init__(self, x, n: int, scale: float = 1.0):
+        self.n, self.scale = n, scale
+        if callable(x):
+            self._fetch = lambda idx: np.asarray(x(idx), dtype=np.float64)
+        else:
+            xv = np.asarray(x)
+            self._fetch = lambda idx: xv[idx]
+
+    def _idx(self, part: np.ndarray, lo: int) -> np.ndarray:
+        part = np.asarray(part, dtype=np.int64)
+        w = part.shape[1]
+        if w == 0:
+            return np.zeros(part.shape[0], dtype=np.int64)
+        return part @ (1 << (self.n - 1 - lo - np.arange(w, dtype=np.int64)))
+
+    def __call__(self, cfg: np.ndarray) -> np.ndarray:
+        return self.scale * self._fetch(self._idx(cfg, 0))
+
+    def block(self, prefixes: np.ndarray, suffixes: np.ndarray) -> np.ndarray:
+        s = prefixes.shape[1]
+        iv = np.arange(2, dtype=np.int64) << (self.n - 1 - s)
+        idx = (
+            self._idx(prefixes, 0)[:, None, None]
+            + iv[None, :, None]
+            + self._idx(suffixes, s + 1)[None, None, :]
+        )
+        return self.scale * self._fetch(idx)
+
+
 def _as_entry_fn(x, n: int, scale: float = 1.0):
-    """Wrap a vector (or callable on integer indices) as f(cfg [B, n]).
-
-    ``scale`` multiplies the gathered entries — normalization happens HERE,
-    on the O(n r^2) entries the cross actually reads, never as a full-vector
-    divide (an 8 GiB temporary + 2^n flops at n = 30)."""
-    w = (1 << np.arange(n - 1, -1, -1)).astype(np.int64)
-    if callable(x):
-        return lambda cfg: scale * np.asarray(x(cfg @ w), dtype=np.float64)
-    xv = np.asarray(x)
-
-    def f(cfg):
-        return scale * xv[cfg @ w]
-
-    return f
+    """Wrap a vector (or callable on integer indices) as f(cfg [B, n])
+    with the factorized ``block`` fast path (see :class:`_EntryKernel`)."""
+    return _EntryKernel(x, n, scale)
 
 
 def _chunked_norm(xv: np.ndarray) -> float:

@@ -953,35 +953,63 @@ def assemble_product_cores(D, Q, pre_i, pre_j, pre_len, mid_i, mid_j,
 
 def zt_mpo_from_pack(pack: dict, *, device=None, dtype=None) -> PairedSiteMPO:
     """Materialize a PairedSiteMPO from a factor pack, assembling the
-    cores on ``device`` (split re/im f32 transfer of the ~1.5 MB rails;
-    the tunneled TPU backend never sees complex or f64 buffers)."""
+    cores on ``device``.
+
+    All pack fields ride in TWO coalesced transfers (one f32 buffer of
+    rail halves, one int32 buffer of index tables) that are sliced back
+    apart in-program — per-transfer dispatch on the tunneled backend is
+    ~15-30 ms, so a dozen small device_puts would cost more than the
+    bytes. The tunneled TPU never sees complex or f64 buffers."""
     if dtype is None:
         dtype = jnp.complex64
     half = (
         np.float64 if jnp.dtype(dtype) == jnp.dtype(jnp.complex128)
         else np.float32
     )
-    put = lambda a: jax.device_put(np.asarray(a), device)  # noqa: E731
+    D, Q = pack["D"], pack["Q"]
+    flt = np.concatenate([
+        D.real.astype(half).ravel(), D.imag.astype(half).ravel(),
+        Q.real.astype(half).ravel(), Q.imag.astype(half).ravel(),
+    ])
+    ints = np.concatenate([
+        np.asarray(pack[k], np.int32).ravel()
+        for k in ("pre_i", "pre_j", "pre_len", "mid_i", "mid_j", "mid_len",
+                  "ranks")
+    ])
+    d_shape, q_shape = D.shape, Q.shape
+    n = int(d_shape[0])
+    chi = pack["pre_i"].shape[1]
 
-    def assemble(D_re, D_im, Q_re, Q_im, idx):
-        D = jax.lax.complex(D_re, D_im).astype(dtype)
-        Q = jax.lax.complex(Q_re, Q_im).astype(dtype)
-        return assemble_product_cores(D, Q, *idx)
+    def assemble(flt, ints):
+        dn = int(np.prod(d_shape))
+        qn = int(np.prod(q_shape))
+        D_ = jax.lax.complex(
+            flt[:dn].reshape(d_shape), flt[dn : 2 * dn].reshape(d_shape)
+        ).astype(dtype)
+        Q_ = jax.lax.complex(
+            flt[2 * dn : 2 * dn + qn].reshape(q_shape),
+            flt[2 * dn + qn :].reshape(q_shape),
+        ).astype(dtype)
+        off = 0
+        idx = []
+        for shape in (
+            (n + 1, chi), (n + 1, chi), (n + 1,),
+            (n, chi), (n, chi), (n,), (2 * n + 1,),
+        ):
+            size = int(np.prod(shape))
+            idx.append(ints[off : off + size].reshape(shape))
+            off += size
+        pre_i, pre_j, pre_len, mid_i, mid_j, mid_len, ranks = idx
+        cores = assemble_product_cores(D_, Q_, pre_i, pre_j, pre_len,
+                                       mid_i, mid_j, mid_len)
+        return cores, ranks
 
-    idx = tuple(
-        put(pack[k].astype(np.int32))
-        for k in ("pre_i", "pre_j", "pre_len", "mid_i", "mid_j", "mid_len")
-    )
-    cores = jax.jit(assemble, device=device)(
-        put(pack["D"].real.astype(half)), put(pack["D"].imag.astype(half)),
-        put(pack["Q"].real.astype(half)), put(pack["Q"].imag.astype(half)),
-        idx,
+    cores, ranks = jax.jit(assemble, device=device)(
+        jax.device_put(flt, device), jax.device_put(ints, device)
     )
     from qilaplace_tpu.core.mpo import MPO as _MPO
 
-    return PairedSiteMPO(chain=_MPO(
-        cores=cores, ranks=put(pack["ranks"].astype(np.int32))
-    ))
+    return PairedSiteMPO(chain=_MPO(cores=cores, ranks=ranks))
 
 
 def analytic_dt_mpo(

@@ -141,6 +141,27 @@ def test_analytic_zt_rank_plateau():
     assert abs(r14 - r10) <= 6
 
 
+def test_zt_pack_assembly_matches_direct_build():
+    # the factor pack's on-device kron assembly must be BIT-EXACT vs the
+    # host-assembled analytic operator (same rails, same selection)
+    from qilaplace_tpu.transforms.analytic import (
+        zt_mpo_from_pack,
+        zt_product_pack,
+    )
+
+    n, wr = 8, 2 * np.pi
+    W_ref = analytic_zt_mpo(n, wr, cutoff=1e-12, maxdim=160,
+                            dtype=np.complex128)
+    pack = zt_product_pack(n, wr, cutoff=1e-12, maxdim=160)
+    W_dev = zt_mpo_from_pack(pack, dtype=np.complex128)
+    assert np.array_equal(np.asarray(W_ref.chain.ranks),
+                          np.asarray(W_dev.chain.ranks))
+    a = np.asarray(W_ref.chain.cores)
+    b = np.asarray(W_dev.chain.cores)
+    m = min(a.shape[1], b.shape[1])
+    assert np.abs(a[:, :m, :, :, :m] - b[:, :m, :, :, :m]).max() == 0.0
+
+
 def test_cross_tt_validation_guard():
     # under-resourced cross must fail loudly, not return a bad operator
     with pytest.raises(RuntimeError):
