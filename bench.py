@@ -270,11 +270,8 @@ def child_host_setup(n: int, mode: str) -> None:
         log("signal: closed-form callable (cross reads O(n r^2) entries)")
 
     from qilaplace_tpu import signal_ztmps, tighten
-    from qilaplace_tpu.transforms.analytic import (
-        zt_mpo_from_pack,
-        zt_product_pack,
-    )
-    from qilaplace_tpu.utils.io import cached_zt_pack, ship
+    from qilaplace_tpu.transforms.analytic import zt_product_pack
+    from qilaplace_tpu.utils.io import cached_zt_pack, ship, ship_state_and_pack
 
     cache_dir = tempfile.mkdtemp(prefix="qilaplace_bench_mpo_")
 
@@ -296,9 +293,13 @@ def child_host_setup(n: int, mode: str) -> None:
             else:
                 pack = zt_product_pack(n, WR, cutoff=W_CUTOFF, maxdim=CHI)
             t_build = time.perf_counter() - t0
+        # state + factor pack ride ONE coalesced float transfer + ONE int32
+        # transfer + ONE assembly program (3 dispatches instead of 6 — each
+        # costs ~15-30 ms of tunnel latency)
         t0 = time.perf_counter()
-        psi_dev = ship(psi, dev, dtype=jnp.float32)
-        W_dev = zt_mpo_from_pack(pack, device=dev, dtype=jnp.complex64)
+        psi_dev, W_dev = ship_state_and_pack(psi, pack, dev,
+                                             state_dtype=jnp.float32,
+                                             mpo_dtype=jnp.complex64)
         jax.block_until_ready(W_dev.chain.cores)
         t_ship = time.perf_counter() - t0
         return psi_dev, W_dev, t_enc, t_build, t_ship

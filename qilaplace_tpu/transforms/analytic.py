@@ -951,21 +951,12 @@ def assemble_product_cores(D, Q, pre_i, pre_j, pre_len, mid_i, mid_j,
     return cores.reshape(2 * n, chi, 2, 2, chi)
 
 
-def zt_mpo_from_pack(pack: dict, *, device=None, dtype=None) -> PairedSiteMPO:
-    """Materialize a PairedSiteMPO from a factor pack, assembling the
-    cores on ``device``.
-
-    All pack fields ride in TWO coalesced transfers (one f32 buffer of
-    rail halves, one int32 buffer of index tables) that are sliced back
-    apart in-program — per-transfer dispatch on the tunneled backend is
-    ~15-30 ms, so a dozen small device_puts would cost more than the
-    bytes. The tunneled TPU never sees complex or f64 buffers."""
-    if dtype is None:
-        dtype = jnp.complex64
-    half = (
-        np.float64 if jnp.dtype(dtype) == jnp.dtype(jnp.complex128)
-        else np.float32
-    )
+def pack_flatten(pack: dict, half) -> tuple:
+    """Flatten a factor pack into ONE float buffer (split re/im rail
+    halves, dtype ``half``) + ONE int32 buffer (index tables + ranks),
+    returning ``(flt, ints, meta)``. The coalesced form exists because
+    per-transfer dispatch on the tunneled backend is ~15-30 ms — a dozen
+    small device_puts cost more than the bytes."""
     D, Q = pack["D"], pack["Q"]
     flt = np.concatenate([
         D.real.astype(half).ravel(), D.imag.astype(half).ravel(),
@@ -976,33 +967,57 @@ def zt_mpo_from_pack(pack: dict, *, device=None, dtype=None) -> PairedSiteMPO:
         for k in ("pre_i", "pre_j", "pre_len", "mid_i", "mid_j", "mid_len",
                   "ranks")
     ])
-    d_shape, q_shape = D.shape, Q.shape
-    n = int(d_shape[0])
-    chi = pack["pre_i"].shape[1]
+    meta = (D.shape, Q.shape, int(D.shape[0]), int(pack["pre_i"].shape[1]))
+    return flt, ints, meta
+
+
+def pack_assemble(flt, ints, meta, dtype):
+    """Traceable inverse of :func:`pack_flatten` + on-device kron assembly:
+    slices the coalesced buffers apart and returns ``(cores, ranks)``.
+    Call inside a jitted program on the target device."""
+    d_shape, q_shape, n, chi = meta
+    dn = int(np.prod(d_shape))
+    qn = int(np.prod(q_shape))
+    D_ = jax.lax.complex(
+        flt[:dn].reshape(d_shape), flt[dn : 2 * dn].reshape(d_shape)
+    ).astype(dtype)
+    Q_ = jax.lax.complex(
+        flt[2 * dn : 2 * dn + qn].reshape(q_shape),
+        flt[2 * dn + qn : 2 * dn + 2 * qn].reshape(q_shape),
+    ).astype(dtype)
+    off = 0
+    idx = []
+    for shape in (
+        (n + 1, chi), (n + 1, chi), (n + 1,),
+        (n, chi), (n, chi), (n,), (2 * n + 1,),
+    ):
+        size = int(np.prod(shape))
+        idx.append(ints[off : off + size].reshape(shape))
+        off += size
+    pre_i, pre_j, pre_len, mid_i, mid_j, mid_len, ranks = idx
+    cores = assemble_product_cores(D_, Q_, pre_i, pre_j, pre_len,
+                                   mid_i, mid_j, mid_len)
+    return cores, ranks
+
+
+def zt_mpo_from_pack(pack: dict, *, device=None, dtype=None) -> PairedSiteMPO:
+    """Materialize a PairedSiteMPO from a factor pack, assembling the
+    cores on ``device``.
+
+    All pack fields ride in TWO coalesced transfers (one float buffer of
+    rail halves, one int32 buffer of index tables) that are sliced back
+    apart in-program (:func:`pack_flatten` / :func:`pack_assemble`). The
+    tunneled TPU never sees complex or f64 buffers."""
+    if dtype is None:
+        dtype = jnp.complex64
+    half = (
+        np.float64 if jnp.dtype(dtype) == jnp.dtype(jnp.complex128)
+        else np.float32
+    )
+    flt, ints, meta = pack_flatten(pack, half)
 
     def assemble(flt, ints):
-        dn = int(np.prod(d_shape))
-        qn = int(np.prod(q_shape))
-        D_ = jax.lax.complex(
-            flt[:dn].reshape(d_shape), flt[dn : 2 * dn].reshape(d_shape)
-        ).astype(dtype)
-        Q_ = jax.lax.complex(
-            flt[2 * dn : 2 * dn + qn].reshape(q_shape),
-            flt[2 * dn + qn :].reshape(q_shape),
-        ).astype(dtype)
-        off = 0
-        idx = []
-        for shape in (
-            (n + 1, chi), (n + 1, chi), (n + 1,),
-            (n, chi), (n, chi), (n,), (2 * n + 1,),
-        ):
-            size = int(np.prod(shape))
-            idx.append(ints[off : off + size].reshape(shape))
-            off += size
-        pre_i, pre_j, pre_len, mid_i, mid_j, mid_len, ranks = idx
-        cores = assemble_product_cores(D_, Q_, pre_i, pre_j, pre_len,
-                                       mid_i, mid_j, mid_len)
-        return cores, ranks
+        return pack_assemble(flt, ints, meta, dtype)
 
     cores, ranks = jax.jit(assemble, device=device)(
         jax.device_put(flt, device), jax.device_put(ints, device)

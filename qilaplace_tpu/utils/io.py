@@ -266,6 +266,91 @@ def ship(obj, device, *, dtype=jnp.complex64):
     return new_chain
 
 
+def ship_state_and_pack(obj, pack, device, *, state_dtype=jnp.float32,
+                        mpo_dtype=jnp.complex64):
+    """Ship a state AND a zT factor pack in ONE coalesced float transfer +
+    ONE int32 transfer + ONE assembly program, returning
+    ``(state_on_device, PairedSiteMPO_on_device)``.
+
+    This is the thin-link setup path: per-dispatch latency on the tunneled
+    TPU backend is ~15-30 ms, so the separate ``ship(psi)`` (3 puts) +
+    ``zt_mpo_from_pack`` (2 puts + 1 program) pays ~6 round-trips for
+    ~2 MB of bytes. Coalescing halves the setup dispatches. Complex/f64
+    never crosses the tunnel: complex cores split into halves on the host
+    backend and recombine inside the device program."""
+    from qilaplace_tpu.transforms.analytic import pack_assemble, pack_flatten
+
+    chain = obj.chain if isinstance(obj, (ZTMPS, PairedSiteMPO)) else obj
+    s_tgt = jnp.dtype(state_dtype)
+    half = (
+        np.float64
+        if s_tgt in (jnp.dtype(jnp.float64), jnp.dtype(jnp.complex128))
+        else np.float32
+    )
+    m_half = (
+        np.float64 if jnp.dtype(mpo_dtype) == jnp.dtype(jnp.complex128)
+        else np.float32
+    )
+    if m_half != half:
+        raise ValueError("ship_state_and_pack: state/mpo dtypes must share "
+                         "a float width (both 32-bit or both 64-bit)")
+    cores = chain.cores
+    cpu = jax.local_devices(backend="cpu")[0]
+    parts = []
+    if np.dtype(cores.dtype).kind == "c":
+        with jax.default_device(cpu):
+            parts.append(np.asarray(jnp.real(cores), half).ravel())
+            if s_tgt.kind == "c":
+                parts.append(np.asarray(jnp.imag(cores), half).ravel())
+    else:
+        parts.append(np.asarray(cores, half).ravel())
+    amp = np.asarray(
+        [np.real(np.asarray(chain.amplitude))]
+        if hasattr(chain, "amplitude") else [], half
+    )
+    parts.append(amp)
+    p_flt, p_ints, meta = pack_flatten(pack, half)
+    parts.append(p_flt)
+    flt = np.concatenate(parts)
+    s_ranks = np.asarray(chain.ranks, np.int32)
+    ints = np.concatenate([s_ranks.ravel(), p_ints])
+    c_shape = tuple(cores.shape)
+    cn = int(np.prod(c_shape))
+    s_complex = s_tgt.kind == "c" and np.dtype(cores.dtype).kind == "c"
+    s_flt_len = cn * (2 if s_complex else 1) + amp.size
+    has_amp = amp.size > 0
+
+    def assemble(flt, ints):
+        if s_complex:
+            sc = jax.lax.complex(
+                flt[:cn].reshape(c_shape),
+                flt[cn : 2 * cn].reshape(c_shape),
+            ).astype(state_dtype)
+        else:
+            sc = flt[:cn].reshape(c_shape).astype(state_dtype)
+        a = flt[s_flt_len - 1].astype(half) if has_amp else None
+        sr = ints[: s_ranks.size].reshape(s_ranks.shape)
+        wc, wr = pack_assemble(flt[s_flt_len:], ints[s_ranks.size:], meta,
+                               mpo_dtype)
+        return sc, a, sr, wc, wr
+
+    sc, a, sr, wc, w_ranks = jax.jit(assemble, device=device)(
+        jax.device_put(flt, device), jax.device_put(ints, device)
+    )
+    if has_amp:
+        new_chain = MPS(cores=sc, ranks=sr, amplitude=a)
+    else:
+        new_chain = MPO(cores=sc, ranks=sr)
+    if isinstance(obj, ZTMPS):
+        state = ZTMPS(chain=new_chain)
+    elif isinstance(obj, PairedSiteMPO):
+        state = PairedSiteMPO(chain=new_chain)
+    else:
+        state = new_chain
+    W = PairedSiteMPO(chain=MPO(cores=wc, ranks=w_ranks))
+    return state, W
+
+
 def load(path: str, *, device=None):
     """Load a container saved by :func:`save`, placing arrays on ``device``
     (default backend device when None)."""

@@ -35,6 +35,60 @@ def test_ztmps_and_mpo_roundtrip(tmp_path):
     assert np.allclose(out1, out2, atol=1e-12)
 
 
+def test_ship_state_and_pack_matches_separate():
+    # the coalesced 3-dispatch setup transfer must produce EXACTLY what the
+    # separate ship(psi) + zt_mpo_from_pack(pack) calls produce
+    from qilaplace_tpu import tighten
+    from qilaplace_tpu.transforms.analytic import (
+        zt_mpo_from_pack,
+        zt_product_pack,
+    )
+
+    n, wr = 6, 2 * np.pi
+    x = np.random.default_rng(2).normal(size=2**n)
+    psi = tighten(signal_ztmps(x, cutoff=1e-12))
+    pack = zt_product_pack(n, wr, cutoff=1e-12, maxdim=64)
+
+    psi_a = io.ship(psi, None, dtype=jnp.float32)
+    W_a = zt_mpo_from_pack(pack, dtype=jnp.complex64)
+    psi_b, W_b = io.ship_state_and_pack(psi, pack, None)
+
+    assert psi_b.chain.cores.dtype == psi_a.chain.cores.dtype
+    assert np.array_equal(np.asarray(psi_b.chain.cores),
+                          np.asarray(psi_a.chain.cores))
+    assert np.array_equal(np.asarray(psi_b.chain.ranks),
+                          np.asarray(psi_a.chain.ranks))
+    assert np.isclose(float(np.real(np.asarray(psi_b.chain.amplitude))),
+                      float(np.real(np.asarray(psi_a.chain.amplitude))))
+    assert W_b.chain.cores.dtype == W_a.chain.cores.dtype
+    assert np.array_equal(np.asarray(W_b.chain.cores),
+                          np.asarray(W_a.chain.cores))
+    assert np.array_equal(np.asarray(W_b.chain.ranks),
+                          np.asarray(W_a.chain.ranks))
+
+
+def test_ship_state_and_pack_complex_state():
+    # complex-state route: both rails of the state cross in the same
+    # coalesced buffer and recombine in-program
+    from qilaplace_tpu.core.mps import MPS, ZTMPS
+    from qilaplace_tpu.transforms.analytic import zt_product_pack
+
+    n, wr = 4, 1.5
+    x = np.random.default_rng(3).normal(size=2**n)
+    psi = signal_ztmps(x, cutoff=1e-12)
+    ch = psi.chain
+    cores_c = np.asarray(ch.cores).astype(np.complex128) * (1.0 + 0.5j)
+    psi_c = ZTMPS(chain=MPS(cores=jnp.asarray(cores_c), ranks=ch.ranks,
+                            amplitude=ch.amplitude))
+    pack = zt_product_pack(n, wr, cutoff=1e-12, maxdim=64)
+    psi_b, W_b = io.ship_state_and_pack(psi_c, pack,
+                                        None, state_dtype=jnp.complex64)
+    assert psi_b.chain.cores.dtype == jnp.complex64
+    assert np.allclose(np.asarray(psi_b.chain.cores),
+                       cores_c.astype(np.complex64))
+    assert W_b.chain.cores.dtype == jnp.complex64
+
+
 def test_complex_split_storage(tmp_path):
     W = build_qft_mpo(3)
     p = str(tmp_path / "w.npz")
