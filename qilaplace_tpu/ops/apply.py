@@ -537,9 +537,12 @@ def apply_coefficient_batch(W, psi, configs) -> jax.Array:
 
     ``configs`` is [B, n] output bits (site 1 = MSB, same convention as
     :func:`~qilaplace_tpu.core.mps.coefficient_batch`). Cost per site is
-    four [B*chi_p, chi_w] x [chi_w, chi_w] class GEMMs — one `lax.scan` of
-    batched MXU matmuls; repad W/psi to tight bond buckets first when the
-    caps are much larger than the actual ranks.
+    exactly TWO dense GEMMs — [B*chi_p, chi_w] x [chi_w, 4*chi_w] over the
+    whole W core, then a per-config output-bit gather, then
+    [B*chi_w, 2*chi_p] x [2*chi_p, chi_p] — MXU-shaped at any batch, with
+    the config-dependent branch select done on the (cheap) intermediate
+    instead of doubling the second contraction. Repad W/psi to tight bond
+    buckets first when the caps are much larger than the actual ranks.
     """
     wm = _mpo_chain(W)
     pm = _chain(psi)
@@ -551,16 +554,16 @@ def apply_coefficient_batch(W, psi, configs) -> jax.Array:
 
     def step(v, inp):
         Wc, pc, bits = inp  # [cw,2,2,cw], [cp,2,cp], [B]
-
-        def half(o):
-            acc = None
-            for s in (0, 1):
-                t = jnp.einsum("Bab,aA->BbA", v, Wc[:, o, s, :])
-                u = jnp.einsum("BbA,bc->BAc", t, pc[:, s, :])
-                acc = u if acc is None else acc + u
-            return acc
-
-        v = jnp.where((bits == 0)[:, None, None], half(0), half(1))
+        # GEMM 1: contract the W bond for BOTH output bits at once —
+        # (B*cp, cw) x (cw, 2*2*cw); one large matmul instead of four.
+        t = jnp.einsum("Bab,aK->BbK", v, Wc.reshape(cw, 4 * cw))
+        t = t.reshape(B, cp, 2, 2, cw)
+        # select this site's output bit per config (o is free, not summed)
+        t = jnp.take_along_axis(
+            t, bits[:, None, None, None, None], axis=2
+        )[:, :, 0]  # [B, cp, 2, cw]
+        # GEMM 2: contract (psi bond, s) jointly — (B*cw, 2*cp) x (2*cp, cp)
+        v = jnp.einsum("BbsA,bsc->BAc", t, pc)
         return v, None
 
     v, _ = jax.lax.scan(step, v0, (wm.cores, pm.cores, configs.T))
