@@ -222,15 +222,22 @@ def _maxvol_rows(U: np.ndarray, iters: int = 32) -> np.ndarray:
     """Indices of r rows of U [m, r] forming a near-maximal-volume square
     submatrix (greedy LU seed + swap refinement)."""
     sel = _lu_row_seed(U)
-    # swap refinement: B = U @ inv(U[sel]); |B| > 1 means a better row
+    # swap refinement: B = U @ inv(U[sel]); |B| > 1 means a better row.
+    # B is solved ONCE, then kept current with the O(m r) maxvol rank-1
+    # swap update (B[sel] stays the identity by construction) — the
+    # per-swap re-solve was the hot spot of the whole cross build.
+    try:
+        B = np.linalg.solve(U[sel].T, U.T).T
+    except np.linalg.LinAlgError:
+        return np.sort(sel)
     for _ in range(iters):
-        try:
-            B = np.linalg.solve(U[sel].T, U.T).T
-        except np.linalg.LinAlgError:
-            break
         i, j = np.unravel_index(np.argmax(np.abs(B)), B.shape)
         if abs(B[i, j]) < 1.0 + 1e-6 or i in sel:
             break
+        coef = B[:, j] / B[i, j]
+        row = B[i].copy()
+        row[j] -= 1.0
+        B -= np.outer(coef, row)
         sel[j] = i
     return np.sort(sel)
 
