@@ -223,9 +223,12 @@ def _maxvol_rows(U: np.ndarray, iters: int = 32) -> np.ndarray:
     submatrix (greedy LU seed + swap refinement)."""
     sel = _lu_row_seed(U)
     # swap refinement: B = U @ inv(U[sel]); |B| > 1 means a better row.
-    # B is solved ONCE, then kept current with the O(m r) maxvol rank-1
-    # swap update (B[sel] stays the identity by construction) — the
-    # per-swap re-solve was the hot spot of the whole cross build.
+    # B is kept current with the O(m r) maxvol rank-1 swap update, but the
+    # update multiplies roundoff by ~|B[i,j]| — with a near-singular LU seed
+    # the first pivots reach 1e6+ and an un-refreshed B loses all accuracy
+    # (observed: selection garbage, rail-cross validation failures). So the
+    # pivot magnitude gates a fresh solve: large swaps (the unstable AND
+    # rare case) re-solve, small swaps (the common tail) use the update.
     try:
         B = np.linalg.solve(U[sel].T, U.T).T
     except np.linalg.LinAlgError:
@@ -234,11 +237,18 @@ def _maxvol_rows(U: np.ndarray, iters: int = 32) -> np.ndarray:
         i, j = np.unravel_index(np.argmax(np.abs(B)), B.shape)
         if abs(B[i, j]) < 1.0 + 1e-6 or i in sel:
             break
-        coef = B[:, j] / B[i, j]
-        row = B[i].copy()
-        row[j] -= 1.0
-        B -= np.outer(coef, row)
+        big = abs(B[i, j]) > 16.0
+        if not big:
+            coef = B[:, j] / B[i, j]
+            row = B[i].copy()
+            row[j] -= 1.0
+            B -= np.outer(coef, row)
         sel[j] = i
+        if big:
+            try:
+                B = np.linalg.solve(U[sel].T, U.T).T
+            except np.linalg.LinAlgError:
+                break
     return np.sort(sel)
 
 
