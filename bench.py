@@ -23,10 +23,14 @@ path selectable for comparison):
   compression (transforms/analytic.py) — milliseconds on the host, every
   core entry f64-accurate. gate: the reference-parity gate-layer fold on
   the device (device Jacobi linalg).
-* readout BENCH_READOUT=direct (default) | pallas | scan
+* readout BENCH_READOUT=direct (default on TPU) | apply64 (default in cpu
+  mode) | pallas | scan
   direct: <config|W|psi> zipper per scan point, no intermediate truncated
-  product (ops/apply.py apply_coefficient_batch). pallas/scan: fused apply
-  then batched coefficient readout.
+  product (ops/apply.py apply_coefficient_batch) — the f32 accuracy route.
+  apply64: fused range-zip apply once in f64, tighten, batch-read — the
+  CPU-fallback route (f64 has no eps*norm/peak readout floor, and sharing
+  the MPO contraction across configs is ~5x fewer flops on one host core).
+  pallas/scan: fused apply then batched coefficient readout (f32).
 
 Modes (setup placement), tried in order:
 
@@ -202,6 +206,9 @@ def accuracy(n, got_re, got_im, ks, ls, oracle_params=None):
     return float(np.abs(got - want).max() / peak), float(peak)
 
 
+APPLY_CAP = int(os.environ.get("BENCH_APPLY_MAXDIM", "96"))
+
+
 def make_step(readout, configs):
     """The jitted apply+scan program (placement follows its operands)."""
     import jax
@@ -217,6 +224,27 @@ def make_step(readout, configs):
         def step(W, psi, configs):
             vals = apply_coefficient_batch(W, psi, configs)
             return jnp.real(vals), jnp.imag(vals)  # complex not fetchable
+
+    elif readout == "apply64":
+        # CPU-fallback route (TPU relay down): apply ONCE per scan in f64
+        # (native LAPACK host arithmetic — the f32 eps*norm/peak readout
+        # floor that motivates the direct zipper does not exist in f64),
+        # tighten the product to its rank bucket, then batch-read. The MPO
+        # bond is contracted once instead of riding through every config:
+        # ~5x fewer flops than the direct zipper on this one-core host
+        # (measured n=30: 1.9 s vs 7.1 s at the same 1.7e-6 rel-peak err).
+        from qilaplace_tpu.scan.pole_scan import tighten as _tighten
+
+        apply_j = jax.jit(
+            lambda W, psi: apply(W, psi, maxdim=APPLY_CAP, cutoff=CUTOFF,
+                                 final_sweeps=0, zip_mode="range")
+        )
+        read_j = jax.jit(coefficient_batch)
+
+        def step(W, psi, configs):
+            out = _tighten(apply_j(W, psi))  # host rank fetch, tight bucket
+            vals = read_j(out, configs)
+            return jnp.real(vals), jnp.imag(vals)
 
     else:
         read_fn = (
@@ -249,13 +277,17 @@ def child_host_setup(n: int, mode: str) -> None:
 
     if mode == "cpu":
         # pin BEFORE any device lookup: backend discovery dials the
-        # tunneled TPU plugin, and a wedged relay HANGS it
+        # tunneled TPU plugin, and a wedged relay HANGS it. The CPU
+        # fallback runs in f64 (native LAPACK — no tunnel restrictions),
+        # which unlocks the cheaper apply-then-read scan route below.
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     cpu = jax.local_devices(backend="cpu")[0]
     dev = cpu if mode == "cpu" else jax.devices()[0]
     log(f"devices: apply={dev}, mode={mode}, encode={ENCODE}, build={BUILD}")
 
-    readout = os.environ.get("BENCH_READOUT", "direct")
+    readout = os.environ.get("BENCH_READOUT",
+                             "apply64" if mode == "cpu" else "direct")
     ks, ls, cfg_np = scan_samples(n)
     configs = jax.device_put(cfg_np, dev)
     step = make_step(readout, configs)
@@ -297,9 +329,11 @@ def child_host_setup(n: int, mode: str) -> None:
         # transfer + ONE assembly program (3 dispatches instead of 6 — each
         # costs ~15-30 ms of tunnel latency)
         t0 = time.perf_counter()
-        psi_dev, W_dev = ship_state_and_pack(psi, pack, dev,
-                                             state_dtype=jnp.float32,
-                                             mpo_dtype=jnp.complex64)
+        psi_dev, W_dev = ship_state_and_pack(
+            psi, pack, dev,
+            state_dtype=jnp.float64 if mode == "cpu" else jnp.float32,
+            mpo_dtype=jnp.complex128 if mode == "cpu" else jnp.complex64,
+        )
         jax.block_until_ready(W_dev.chain.cores)
         t_ship = time.perf_counter() - t0
         return psi_dev, W_dev, t_enc, t_build, t_ship
@@ -343,7 +377,8 @@ def child_host_setup(n: int, mode: str) -> None:
     with jax.default_device(cpu):
         psi2 = tighten(signal_ztmps(x2, method="cross", cutoff=PSI_CUTOFF,
                                     maxdim=CHI))
-    psi2_dev = ship(psi2, dev, dtype=jnp.float32)
+    psi2_dev = ship(psi2, dev,
+                    dtype=jnp.float64 if mode == "cpu" else jnp.float32)
     re2, im2 = step(W, psi2_dev, configs)
     err2, _ = accuracy(n, np.asarray(re2), np.asarray(im2), ks, ls,
                        oracle_params=x2.oracle_params)
