@@ -82,6 +82,7 @@ def test_analytic_dt_matches_damped_kernel():
     assert np.abs(Z - want).max() < 1e-10
 
 
+@pytest.mark.slow
 def test_analytic_zt_direct_readout_matches_gate_build():
     # The analytic and gate-layer operators agree on the paired subspace;
     # compare the scanned coefficients of a structured signal.
@@ -105,6 +106,7 @@ def test_analytic_zt_direct_readout_matches_gate_build():
     assert np.abs(va - vg).max() <= 1e-9 * max(np.abs(vg).max(), 1e-30)
 
 
+@pytest.mark.slow
 def test_analytic_zt_matches_gate_build_n12():
     # Quantitative at-scale cross-validation (round-3 verdict #5): the
     # analytic and gate-built operators must agree on scanned coefficients

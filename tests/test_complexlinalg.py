@@ -116,6 +116,7 @@ def test_gram_orthonormalize_rank_deficient(forced_embedding):
     assert np.allclose(Q[:, :2].conj().T @ Q[:, :2], np.eye(2), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_end_to_end_transforms_with_embedding(forced_embedding):
     # the QFT pipeline must survive entirely on the embedding path
     from qilaplace_tpu import apply, build_qft_mpo, mps_to_vector, signal_mps

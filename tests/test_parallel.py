@@ -1,3 +1,4 @@
+import pytest
 """Multi-device tests on the virtual 8-device CPU mesh: dp-sharded batched
 pipelines, grid-sharded pole scans, and the psum-reduced fitting step."""
 
@@ -49,6 +50,7 @@ def test_batched_qft_pipeline_sharded_matches_single():
     assert np.allclose(out[0], fft_ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_chi_grid_matches_local():
     from qilaplace_tpu import build_zt_mpo, signal_ztmps
     from qilaplace_tpu.utils.bits import paired_config_from_kl

@@ -218,6 +218,37 @@ def test_public_api_flagship_n30_production_config():
     assert err < 64 * 2 * np.pi / N, (complex(res.z_pole), err)
 
 
+def test_apply_then_read_f64_scan_route():
+    # The bench's CPU-fallback scan route ("apply64": range-zip apply once,
+    # tighten to the realized rank bucket, batch-read in f64) must match
+    # the dense zT oracle within the cutoff's truncation budget — this is
+    # what makes an all-host run accurate without the direct zipper.
+    from qilaplace_tpu import zt_mpo, tighten
+    from qilaplace_tpu.core.mps import coefficient_batch
+    from qilaplace_tpu.utils.bits import paired_config_from_kl
+
+    n, wr = 10, 2 * np.pi
+    N = 2**n
+    lam, w0 = 2.0e-3, 0.35
+    j = np.arange(N)
+    x = np.exp(-lam * j) * np.sin(w0 * j)
+    psi = tighten(signal_ztmps(x, method="cross", cutoff=1e-12, maxdim=128))
+    W = tighten(zt_mpo(n, wr, engine="analytic", cutoff=1e-12, maxdim=128,
+                       dtype=np.complex128, cache=False))
+    out = tighten(apply(W, psi, maxdim=96, cutoff=1e-9, final_sweeps=0,
+                        zip_mode="range"))
+    rng = np.random.default_rng(3)
+    ks = rng.integers(0, N, 512)
+    ls = rng.integers(0, N, 512)
+    cfg = paired_config_from_kl(jnp.asarray(ks), jnp.asarray(ls), n)
+    got = np.asarray(coefficient_batch(out, cfg))
+    Z = analytical_zt(x, wr)
+    want = Z[ks, ls]
+    err = np.abs(got - want).max() / np.abs(Z).max()
+    assert err < 1e-5, err
+
+
+@_pytest.mark.slow
 def test_coarse_to_fine_pole_search_n20():
     # flagship n=20 coarse-to-fine search in the DEFAULT gate (verdict #6)
     # Reference-scale flagship run (docs/src/tutorials/zt.jl:250-268,

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 import jax
@@ -131,6 +132,7 @@ def test_sketched_split_no_norm_leak_rank_deficient():
     assert err < 1e-8
 
 
+@pytest.mark.slow
 def test_device_dt_build_matches_native():
     # the full fused MPO build must agree between the native (LAPACK) and
     # device (Jacobi/Gram/sketch) linalg routes

@@ -76,6 +76,7 @@ def test_coefficient_interleaved_readout():
             assert abs(got - Z_ref[k, l]) < 1e-9
 
 
+@pytest.mark.slow
 def test_zt_bond_plateau():
     # D_max ~ 89-92 from m >~ 18 (reference docs/src/benchmarking.md:216-219):
     # the canonical compression must land near the plateau, NOT pin at the
@@ -92,6 +93,7 @@ def test_zt_bond_plateau_n10():
     assert 85 <= mb <= 100, mb
 
 
+@pytest.mark.slow
 def test_zt_fused_apply_matches_exact():
     n, wr = 4, 1.0
     rng = np.random.default_rng(21)
