@@ -37,6 +37,8 @@ bond-plateau parity studies; the analytic builder is the production path.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -1017,6 +1019,20 @@ def pack_assemble(flt, ints, meta, dtype):
     return cores, ranks
 
 
+@functools.lru_cache(maxsize=32)
+def _pack_assemble_jit(meta, dtype_name, device):
+    """Memoized jitted assembler: a fresh closure per call would re-trace
+    AND re-compile every time (the ~0.2 s XLA compile is below the 1 s
+    persistent-cache threshold, so it is never amortized on disk either —
+    measured as the bulk of the warm ship stage)."""
+    dtype = jnp.dtype(dtype_name)
+
+    def assemble(flt, ints):
+        return pack_assemble(flt, ints, meta, dtype)
+
+    return jax.jit(assemble, device=device)
+
+
 def zt_mpo_from_pack(pack: dict, *, device=None, dtype=None) -> PairedSiteMPO:
     """Materialize a PairedSiteMPO from a factor pack, assembling the
     cores on ``device``.
@@ -1033,10 +1049,7 @@ def zt_mpo_from_pack(pack: dict, *, device=None, dtype=None) -> PairedSiteMPO:
     )
     flt, ints, meta = pack_flatten(pack, half)
 
-    def assemble(flt, ints):
-        return pack_assemble(flt, ints, meta, dtype)
-
-    cores, ranks = jax.jit(assemble, device=device)(
+    cores, ranks = _pack_assemble_jit(meta, jnp.dtype(dtype).name, device)(
         jax.device_put(flt, device), jax.device_put(ints, device)
     )
     from qilaplace_tpu.core.mpo import MPO as _MPO

@@ -12,6 +12,8 @@ Here, padded MPS/MPO stacks + metadata are saved as ``.npz`` so that:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -266,6 +268,39 @@ def ship(obj, device, *, dtype=jnp.complex64):
     return new_chain
 
 
+@functools.lru_cache(maxsize=32)
+def _ship_assemble_jit(c_shape, s_complex, has_amp, state_dtype_name,
+                       half_name, ranks_shape, meta, mpo_dtype_name, device):
+    """Memoized jitted state+pack assembler (same rationale as
+    transforms.analytic._pack_assemble_jit: a per-call closure re-traces
+    and re-compiles ~0.2 s every setup, never amortized by the persistent
+    cache because it sits under the 1 s write threshold)."""
+    from qilaplace_tpu.transforms.analytic import pack_assemble
+
+    state_dtype = jnp.dtype(state_dtype_name)
+    half = jnp.dtype(half_name)
+    mpo_dtype = jnp.dtype(mpo_dtype_name)
+    cn = int(np.prod(c_shape))
+    ranks_size = int(np.prod(ranks_shape))
+    s_flt_len = cn * (2 if s_complex else 1) + (1 if has_amp else 0)
+
+    def assemble(flt, ints):
+        if s_complex:
+            sc = jax.lax.complex(
+                flt[:cn].reshape(c_shape),
+                flt[cn : 2 * cn].reshape(c_shape),
+            ).astype(state_dtype)
+        else:
+            sc = flt[:cn].reshape(c_shape).astype(state_dtype)
+        a = flt[s_flt_len - 1].astype(half) if has_amp else None
+        sr = ints[:ranks_size].reshape(ranks_shape)
+        wc, wr = pack_assemble(flt[s_flt_len:], ints[ranks_size:], meta,
+                               mpo_dtype)
+        return sc, a, sr, wc, wr
+
+    return jax.jit(assemble, device=device)
+
+
 def ship_state_and_pack(obj, pack, device, *, state_dtype=jnp.float32,
                         mpo_dtype=jnp.complex64):
     """Ship a state AND a zT factor pack in ONE coalesced float transfer +
@@ -315,29 +350,16 @@ def ship_state_and_pack(obj, pack, device, *, state_dtype=jnp.float32,
     s_ranks = np.asarray(chain.ranks, np.int32)
     ints = np.concatenate([s_ranks.ravel(), p_ints])
     c_shape = tuple(cores.shape)
-    cn = int(np.prod(c_shape))
     s_complex = s_tgt.kind == "c" and np.dtype(cores.dtype).kind == "c"
-    s_flt_len = cn * (2 if s_complex else 1) + amp.size
-    has_amp = amp.size > 0
-
-    def assemble(flt, ints):
-        if s_complex:
-            sc = jax.lax.complex(
-                flt[:cn].reshape(c_shape),
-                flt[cn : 2 * cn].reshape(c_shape),
-            ).astype(state_dtype)
-        else:
-            sc = flt[:cn].reshape(c_shape).astype(state_dtype)
-        a = flt[s_flt_len - 1].astype(half) if has_amp else None
-        sr = ints[: s_ranks.size].reshape(s_ranks.shape)
-        wc, wr = pack_assemble(flt[s_flt_len:], ints[s_ranks.size:], meta,
-                               mpo_dtype)
-        return sc, a, sr, wc, wr
-
-    sc, a, sr, wc, w_ranks = jax.jit(assemble, device=device)(
+    assemble = _ship_assemble_jit(
+        c_shape, s_complex, amp.size > 0, jnp.dtype(state_dtype).name,
+        np.dtype(half).name, tuple(s_ranks.shape), meta,
+        jnp.dtype(mpo_dtype).name, device,
+    )
+    sc, a, sr, wc, w_ranks = assemble(
         jax.device_put(flt, device), jax.device_put(ints, device)
     )
-    if has_amp:
+    if amp.size > 0:
         new_chain = MPS(cores=sc, ranks=sr, amplitude=a)
     else:
         new_chain = MPO(cores=sc, ranks=sr)
