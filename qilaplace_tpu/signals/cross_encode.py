@@ -102,10 +102,13 @@ def _cross_cores(f, n, *, cutoff, maxdim, seed, tol):
     sampler = _bit_sampler(n)
     inner = max(cutoff * 1e-4, 1e-28)
     last = None
-    for attempt, (sw, md) in enumerate(
-        [(3, maxdim), (5, maxdim), (6, 2 * maxdim)]
-    ):
-        s = seed + 7919 * attempt
+    # rung 0 at sweeps=2 lands on every measured signal family (smooth
+    # closed forms AND random vectors); rung 1 escalates sweeps with the
+    # same seed (a seed bump on a marginal pool can make it worse — see
+    # transforms.analytic._cross_rail); later rungs bump the seed
+    for sw, md, ds in [(2, maxdim, 0), (3, maxdim, 0),
+                       (5, maxdim, 7919), (6, 2 * maxdim, 2 * 7919)]:
+        s = seed + ds
         cores, _ = cross_tt(
             f, n, d=2, cutoff=inner, maxdim=md, sweeps=sw, seed=s,
             paired=False, sampler=sampler,
