@@ -152,9 +152,14 @@ class PoleSearchResult:
 
 
 def _tight_bucket(ranks, chi: int) -> int:
-    """Smallest multiple-of-8 bucket holding the realized ranks (the
-    direct-readout zipper's GEMMs scale with the PAD, not the rank)."""
+    """Smallest bucket holding the realized ranks (the direct-readout
+    zipper's GEMMs scale with the PAD, not the rank): multiples of 8, plus
+    a 4-bucket for the very-low-rank states the cross encoder produces on
+    closed-form signals (measured: 26% off the n=30 zipper scan wall for a
+    rank-4 sin_decay state vs the 8-bucket)."""
     r = int(jnp.max(ranks))
+    if r <= 4:
+        return min(chi, 4)
     return min(chi, max(8, ((r + 7) // 8) * 8))
 
 
