@@ -270,11 +270,16 @@ def ship(obj, device, *, dtype=jnp.complex64):
 
 @functools.lru_cache(maxsize=32)
 def _ship_assemble_jit(c_shape, s_complex, has_amp, state_dtype_name,
-                       half_name, ranks_shape, meta, mpo_dtype_name, device):
+                       half_name, ranks_shape, meta, mpo_dtype_name,
+                       flt_total, ints_len, device):
     """Memoized jitted state+pack assembler (same rationale as
     transforms.analytic._pack_assemble_jit: a per-call closure re-traces
     and re-compiles ~0.2 s every setup, never amortized by the persistent
-    cache because it sits under the 1 s write threshold)."""
+    cache because it sits under the 1 s write threshold).
+
+    The int index tables ride the SAME buffer as the floats, appended as
+    bit-cast words and bitcast back in-program — ONE device_put + ONE
+    program is the minimum number of tunnel round trips (~15 ms each)."""
     from qilaplace_tpu.transforms.analytic import pack_assemble
 
     state_dtype = jnp.dtype(state_dtype_name)
@@ -284,7 +289,12 @@ def _ship_assemble_jit(c_shape, s_complex, has_amp, state_dtype_name,
     ranks_size = int(np.prod(ranks_shape))
     s_flt_len = cn * (2 if s_complex else 1) + (1 if has_amp else 0)
 
-    def assemble(flt, ints):
+    def assemble(buf):
+        flt = buf[:flt_total]
+        # f32 words bitcast 1:1; f64 words bitcast to int32 pairs [k, 2]
+        ints = jax.lax.bitcast_convert_type(
+            buf[flt_total:], jnp.int32
+        ).reshape(-1)[:ints_len]
         if s_complex:
             sc = jax.lax.complex(
                 flt[:cn].reshape(c_shape),
@@ -349,16 +359,19 @@ def ship_state_and_pack(obj, pack, device, *, state_dtype=jnp.float32,
     flt = np.concatenate(parts)
     s_ranks = np.asarray(chain.ranks, np.int32)
     ints = np.concatenate([s_ranks.ravel(), p_ints])
+    # append the int tables to the float buffer as bit-cast words (int32
+    # pairs for a 64-bit half), padded to a whole word count
+    words_per = np.dtype(half).itemsize // 4
+    ints_pad = np.pad(ints, (0, (-ints.size) % words_per))
+    buf = np.concatenate([flt, ints_pad.view(half)])
     c_shape = tuple(cores.shape)
     s_complex = s_tgt.kind == "c" and np.dtype(cores.dtype).kind == "c"
     assemble = _ship_assemble_jit(
         c_shape, s_complex, amp.size > 0, jnp.dtype(state_dtype).name,
         np.dtype(half).name, tuple(s_ranks.shape), meta,
-        jnp.dtype(mpo_dtype).name, device,
+        jnp.dtype(mpo_dtype).name, int(flt.size), int(ints.size), device,
     )
-    sc, a, sr, wc, w_ranks = assemble(
-        jax.device_put(flt, device), jax.device_put(ints, device)
-    )
+    sc, a, sr, wc, w_ranks = assemble(jax.device_put(buf, device))
     if amp.size > 0:
         new_chain = MPS(cores=sc, ranks=sr, amplitude=a)
     else:
