@@ -225,6 +225,19 @@ def make_step(readout, configs):
             vals = apply_coefficient_batch(W, psi, configs)
             return jnp.real(vals), jnp.imag(vals)  # complex not fetchable
 
+    elif readout == "fused":
+        # Kron-combined zipper: W (x) psi per site -> one effective chain
+        # of chi_eff = chi_W * chi_psi branch matmuls, read by the
+        # VMEM-resident Pallas kernel. Same path products as "direct";
+        # trades chi_psi x more flops for MXU-filling K dims + no per-site
+        # HBM round trips.
+        from qilaplace_tpu.ops.apply import zipper_chain
+
+        @jax.jit
+        def step(W, psi, configs):
+            vals = coefficient_batch_pallas(zipper_chain(W, psi), configs)
+            return jnp.real(vals), jnp.imag(vals)
+
     elif readout == "apply64":
         # CPU-fallback route (TPU relay down): apply ONCE per scan in f64
         # (native LAPACK host arithmetic — the f32 eps*norm/peak readout

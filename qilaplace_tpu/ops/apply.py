@@ -570,6 +570,35 @@ def apply_coefficient_batch(W, psi, configs) -> jax.Array:
     return pm.amplitude * v[:, 0, 0]
 
 
+@highest_precision
+def zipper_chain(W, psi) -> MPS:
+    """Per-site Kronecker combination of an operator and a state into ONE
+    effective chain of branch-selected transfer matrices:
+
+        K[site, (a,b), o, (c,d)] = sum_s W[a, o, s, c] * psi[b, s, d]
+
+    Contracting K along a configuration of output bits reproduces
+    ``<config| W |psi>`` exactly (same path products as
+    :func:`apply_coefficient_batch`, with the physical sum s contracted
+    against the state up front). The payoff is the SHAPE: the per-site
+    readout becomes two chi_eff x chi_eff branch matmuls with
+    chi_eff = chi_W * chi_psi — a K-dim of 128+ that fills the MXU and
+    maps directly onto the VMEM-resident Pallas readout kernel
+    (ops.pallas_kernels.coefficient_batch_pallas), where the factored
+    two-GEMM zipper has K = chi_psi (tiny) on its second contraction.
+    Worth it when chi_psi is small (the flops grow as chi_psi^2 vs the
+    factored form's chi_psi): with the rank-4 cross-encoded states
+    chi_eff = 256 and the whole chain is VMEM-chunkable."""
+    wm = _mpo_chain(W)
+    pm = _chain(psi)
+    if wm.n != pm.n:
+        raise ValueError("zipper_chain: site-count mismatch")
+    K = jnp.einsum("naosc,nbsd->nabocd", wm.cores, pm.cores)
+    chi = wm.chi * pm.chi
+    K = K.reshape(pm.n, chi, 2, chi)
+    return MPS(cores=K, ranks=wm.ranks * pm.ranks, amplitude=pm.amplitude)
+
+
 # Operator sugar: W * psi and W1 * W2 (reference src/linalg/apply.jl:233-236).
 # The reference defines *(W1, W2) = apply(W1, W2), where W1's output feeds
 # W2's input — i.e. the product W1 * W2 means W2 ∘ W1. We keep that.

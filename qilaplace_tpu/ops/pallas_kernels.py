@@ -34,6 +34,17 @@ from qilaplace_tpu.core.mps import ZTMPS
 
 TILE_B = 256
 SITE_CHUNK = 32
+# VMEM budget for a chunk's core stack (split re/im f32). chi=128 keeps the
+# historical 32-site chunks; wider effective chains (zipper_chain kron
+# readout, chi_eff = chi_W * chi_psi up to 512) shrink the chunk instead of
+# over-subscribing VMEM (the round-1 whole-chain kernel took ~390 s to
+# compile for exactly that reason).
+_CHUNK_VMEM_BYTES = 8 * 2**20
+
+
+def _site_chunk(chi: int) -> int:
+    per_site = chi * 2 * chi * 4 * 2
+    return max(1, min(SITE_CHUNK, _CHUNK_VMEM_BYTES // per_site))
 
 
 def _dot(a, b):
@@ -85,10 +96,11 @@ def coefficient_batch_pallas(psi, configs, *, interpret: bool = False):
     """
     m = psi.chain if isinstance(psi, ZTMPS) else psi
     n, chi = m.n, m.chi
+    site_chunk = _site_chunk(chi)
     configs = jnp.asarray(configs, jnp.int32)
     B = configs.shape[0]
     pad_b = (-B) % TILE_B
-    pad_n = (-n) % SITE_CHUNK
+    pad_n = (-n) % site_chunk
     bits = jnp.pad(configs, ((0, pad_b), (0, pad_n)))  # [B_pad, n_pad]
     B_pad = B + pad_b
     n_pad = n + pad_n
@@ -112,18 +124,18 @@ def coefficient_batch_pallas(psi, configs, *, interpret: bool = False):
     )
     vi = jnp.zeros((B_pad, chi), jnp.float32)
 
-    for c in range(n_pad // SITE_CHUNK):
-        sl = slice(c * SITE_CHUNK, (c + 1) * SITE_CHUNK)
+    for c in range(n_pad // site_chunk):
+        sl = slice(c * site_chunk, (c + 1) * site_chunk)
         vr, vi = pl.pallas_call(
             _kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((TILE_B, SITE_CHUNK), lambda i: (i, 0),
+                pl.BlockSpec((TILE_B, site_chunk), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((SITE_CHUNK, chi, 2, chi),
+                pl.BlockSpec((site_chunk, chi, 2, chi),
                              lambda i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((SITE_CHUNK, chi, 2, chi),
+                pl.BlockSpec((site_chunk, chi, 2, chi),
                              lambda i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 vec_spec,

@@ -196,3 +196,29 @@ def test_paired_apply_requires_matching_types():
     W = random_mpo(6)
     with pytest.raises(TypeError):
         apply(W, zt)
+
+
+def test_zipper_chain_matches_direct_readout():
+    # Kron-combined effective chain == the factored direct zipper (exact
+    # reassociation, no truncation anywhere)
+    import numpy as np
+
+    from qilaplace_tpu import build_zt_mpo, signal_ztmps
+    from qilaplace_tpu.core.mps import coefficient_batch
+    from qilaplace_tpu.ops.apply import apply_coefficient_batch, zipper_chain
+    from qilaplace_tpu.ops.pallas_kernels import coefficient_batch_pallas
+    from qilaplace_tpu.utils.bits import paired_config_from_kl
+
+    n = 4
+    x = np.random.default_rng(0).normal(size=2**n)
+    psi = signal_ztmps(x, cutoff=1e-14)
+    W = build_zt_mpo(n, 0.75, cutoff=1e-14)
+    ks = jnp.arange(2**n)
+    cfg = paired_config_from_kl(ks, (3 * ks) % 2**n, n)
+    direct = np.asarray(apply_coefficient_batch(W, psi, cfg))
+    eff = zipper_chain(W, psi)
+    fused = np.asarray(coefficient_batch(eff, cfg))
+    assert np.abs(direct - fused).max() < 1e-12
+    # and through the Pallas kernel in interpret mode (f32 path)
+    pal = np.asarray(coefficient_batch_pallas(eff, cfg, interpret=True))
+    assert np.abs(direct - pal).max() < 1e-5
