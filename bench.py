@@ -749,7 +749,13 @@ def child(n: int, mode: str) -> None:
              W, readout, setup_device="cpu", apply_device="tpu")
 
 
-def _run_child(n, mode, timeout=4500):
+def _run_child(n, mode, timeout=None):
+    if timeout is None:
+        # The relay can wedge MID-run (observed: probe OK, then the child
+        # hangs on the first transfer): TPU-mode children get a bounded
+        # wait so the cpu fallback still runs within the driver's budget.
+        # Host-only children keep the long leash (cold x64 compiles).
+        timeout = 4500 if mode == "cpu" else 1800
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
