@@ -24,12 +24,13 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", ".."))  # repo root, for qilaplace_tpu
 
-# honor JAX_PLATFORMS even where a sitecustomize pre-pinned a backend
+# Tutorials teach in f64, which TPU backends do not execute natively — pin
+# CPU regardless of ambient JAX_PLATFORMS/sitecustomize backend pins
+# (QILAPLACE_PLATFORM overrides, same knob as the benchmark runners).
 import jax
 
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-jax.config.update("jax_enable_x64", True)  # tutorials teach in f64
+jax.config.update("jax_platforms", os.environ.get("QILAPLACE_PLATFORM", "cpu"))
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import jax.numpy as jnp
